@@ -1,0 +1,97 @@
+"""Engine configuration.
+
+Parity target: reference nanovllm/config.py:14-66 (field names kept where they
+make sense so reference users find what they expect). TPU-specific additions:
+mesh shape knobs, KV-cache dtype (bf16 / int8), prefill token buckets, and the
+XLA persistent compilation cache (replacing the reference's torchair
+`.torchair_cache`, reference model_runner.py:129-154).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+_BUCKET_DEFAULT = (512, 2048, 8192, 16384)
+
+
+@dataclass
+class Config:
+    model: Any = ""  # path to an HF checkpoint dir, or a PretrainedConfig
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 256
+    max_model_len: int = 4096
+    gpu_memory_utilization: float = 0.7  # kept name for reference parity
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    expert_parallel_size: int = 1
+    enforce_eager: bool = False  # kept for API parity; jit is always on,
+    # this only disables the persistent compile cache
+    kvcache_block_size: int = 256
+    num_kvcache_blocks: int = -1  # -1 = size from free HBM
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | float32 | int8
+    dtype: str = "auto"  # model compute dtype: auto | bfloat16 | float32
+    quantization: Optional[str] = None  # None | "int8" (weight-only)
+    attention_backend: str = "auto"  # auto | pallas | jnp
+    use_graph_cache: bool = True  # persistent XLA compilation cache
+    compile_cache_dir: str = os.path.expanduser("~/.cache/nanovllm_tpu_xla")
+    prefill_token_buckets: tuple = _BUCKET_DEFAULT
+    decode_seq_buckets: tuple = ()  # empty = always pad to max_num_seqs
+    sort_prefills_by_length: bool = True
+    eos: int = -1
+    seed: int = 0
+    is_multimodal: bool = False
+    hf_config: Any = field(default=None, repr=False)
+
+    def __post_init__(self):
+        assert self.kvcache_block_size % 16 == 0, "block size must be a multiple of 16"
+        assert 1 <= self.tensor_parallel_size <= 64
+        if self.hf_config is None:
+            self.hf_config = self._resolve_hf_config()
+        # Clamp max_model_len to the model's trained window like the
+        # reference does (reference config.py:44-53).
+        hf_max = getattr(self.hf_config, "max_position_embeddings", None)
+        if hf_max is None and hasattr(self.hf_config, "text_config"):
+            hf_max = getattr(self.hf_config.text_config, "max_position_embeddings", None)
+        if hf_max:
+            self.max_model_len = min(self.max_model_len, int(hf_max))
+        if self.eos == -1:
+            self.eos = self._resolve_eos()
+        self.max_num_batched_tokens = max(self.max_num_batched_tokens, self.max_model_len)
+        # Prefill buckets must cover the full budget.
+        buckets = sorted(b for b in self.prefill_token_buckets if b <= self.max_num_batched_tokens)
+        if not buckets or buckets[-1] < self.max_num_batched_tokens:
+            buckets.append(self.max_num_batched_tokens)
+        self.prefill_token_buckets = tuple(buckets)
+
+    def _resolve_hf_config(self):
+        from transformers import AutoConfig, PretrainedConfig
+
+        if isinstance(self.model, PretrainedConfig):
+            return self.model
+        if not self.model:
+            raise ValueError("Config.model must be a checkpoint path or a PretrainedConfig")
+        return AutoConfig.from_pretrained(self.model, trust_remote_code=True)
+
+    def _resolve_eos(self) -> int:
+        cfg = self.hf_config
+        eos = getattr(cfg, "eos_token_id", None)
+        if eos is None and hasattr(cfg, "text_config"):
+            eos = getattr(cfg.text_config, "eos_token_id", None)
+        if isinstance(eos, (list, tuple)):
+            eos = eos[0] if eos else None
+        return int(eos) if eos is not None else -1
+
+    @property
+    def model_path(self) -> Optional[str]:
+        return self.model if isinstance(self.model, str) and self.model else None
+
+    @property
+    def text_config(self):
+        return getattr(self.hf_config, "text_config", None) or self.hf_config
+
+    @property
+    def blocks_per_seq(self) -> int:
+        return (self.max_model_len + self.kvcache_block_size - 1) // self.kvcache_block_size

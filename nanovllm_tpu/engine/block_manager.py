@@ -1,0 +1,179 @@
+"""Paged KV-cache block allocator with a hash-chained prefix cache.
+
+Behavioral parity target: reference nanovllm/engine/block_manager.py:26-118 —
+  * xxhash64 chained over *full* blocks (partial blocks never get a hash);
+  * `allocate` walks a sequence's logical blocks, reusing a physical block on
+    (chain-hash, exact-token) match and bumping its refcount; the first miss
+    breaks the chain so every later block is freshly allocated (copy-on-write
+    effect without copying);
+  * generated tokens seal a block when it fills (`append_slot`), publishing
+    its hash so later requests can hit it;
+  * refcounted deallocate;
+  * tokens whose embeddings are request-dependent (vision placeholders) never
+    produce cache hits (reference block_manager.py:34-36, 69-74).
+
+Structurally this is a flat-array design (refcounts / hashes / content keys in
+parallel lists) rather than per-block objects: cheaper for the per-step host
+path and trivially mirrored by the C++ runtime extension later.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterable, Optional
+
+import numpy as np
+import xxhash
+
+from nanovllm_tpu.engine.sequence import Sequence
+
+NO_HASH = -1
+
+
+def hash_block(token_ids: list[int], prefix_hash: int = NO_HASH) -> int:
+    """Chain hash of one full block given the previous block's chain hash."""
+    h = xxhash.xxh64()
+    if prefix_hash != NO_HASH:
+        h.update(prefix_hash.to_bytes(8, "little", signed=False))
+    h.update(np.asarray(token_ids, dtype=np.int64).tobytes())
+    return h.intdigest()
+
+
+class BlockManager:
+    """Allocator over `num_blocks` physical KV pages of `block_size` tokens."""
+
+    def __init__(
+        self,
+        num_blocks: int,
+        block_size: int,
+        non_cacheable_token_ids: Optional[Iterable[int]] = None,
+    ):
+        assert num_blocks > 0 and block_size > 0
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self._ref = [0] * num_blocks
+        self._hash = [NO_HASH] * num_blocks
+        # Exact token content per block, kept to verify hash matches
+        # (collision safety) — tuple so comparisons are cheap.
+        self._tokens: list[tuple] = [()] * num_blocks
+        self._free: deque[int] = deque(range(num_blocks))
+        self._hash_to_block: dict[int, int] = {}
+        self.non_cacheable = frozenset(non_cacheable_token_ids or ())
+
+    # -- introspection ----------------------------------------------------
+    @property
+    def num_free_blocks(self) -> int:
+        return len(self._free)
+
+    def ref_count(self, block_id: int) -> int:
+        return self._ref[block_id]
+
+    def block_hash(self, block_id: int) -> int:
+        return self._hash[block_id]
+
+    # -- internals --------------------------------------------------------
+    def _take_free(self) -> int:
+        bid = self._free.popleft()
+        assert self._ref[bid] == 0
+        self._ref[bid] = 1
+        self._hash[bid] = NO_HASH
+        self._tokens[bid] = ()
+        return bid
+
+    def _take_specific(self, bid: int) -> None:
+        """Revive a cached-but-free block in place (keeps hash/content)."""
+        assert self._ref[bid] == 0
+        self._free.remove(bid)
+        self._ref[bid] = 1
+
+    def _release(self, bid: int) -> None:
+        self._ref[bid] -= 1
+        assert self._ref[bid] >= 0
+        if self._ref[bid] == 0:
+            # Keep hash/content: the page may be revived as a prefix hit
+            # until its id is reused.
+            self._free.append(bid)
+
+    def _publish(self, bid: int, h: int, tokens: list[int]) -> None:
+        self._hash[bid] = h
+        self._tokens[bid] = tuple(tokens)
+        self._hash_to_block[h] = bid
+
+    # -- prefill ----------------------------------------------------------
+    def can_allocate(self, seq: Sequence) -> bool:
+        return self.num_free_blocks >= seq.num_blocks
+
+    def allocate(self, seq: Sequence) -> None:
+        """Build seq.block_table, reusing cached prefix pages where possible."""
+        assert not seq.block_table
+        chain = NO_HASH
+        chain_alive = True
+        for i in range(seq.num_blocks):
+            tokens = seq.block_tokens(i)
+            full = len(tokens) == self.block_size
+            cacheable = full and not any(t in self.non_cacheable for t in tokens)
+            chain = hash_block(tokens, chain) if cacheable else NO_HASH
+            hit = NO_HASH
+            if chain_alive and cacheable:
+                cand = self._hash_to_block.get(chain, -1)
+                if cand >= 0 and self._tokens[cand] == tuple(tokens):
+                    hit = cand
+            if hit >= 0:
+                if self._ref[hit] > 0:
+                    self._ref[hit] += 1
+                else:
+                    self._take_specific(hit)
+                seq.num_cached_tokens += self.block_size
+                seq.block_table.append(hit)
+            else:
+                chain_alive = False
+                bid = self._take_free()
+                if chain != NO_HASH:
+                    self._publish(bid, chain, tokens)
+                seq.block_table.append(bid)
+        # A fully-cached prompt still needs one query token so the model can
+        # produce the next token: recompute just the last position (the KV
+        # rewrite into the shared page is idempotent).
+        if seq.num_cached_tokens >= len(seq):
+            seq.num_cached_tokens = len(seq) - 1
+
+    # -- decode -----------------------------------------------------------
+    # The decode step writes KV for the sequence's *last* token (position
+    # len-1) and samples the next one, so a fresh page is needed exactly when
+    # that position opens a new block (len % block_size == 1), and the
+    # trailing block becomes sealable when it fills (len % block_size == 0).
+    def can_append_slot(self, seq: Sequence) -> bool:
+        needs_new = (len(seq) % self.block_size) == 1
+        return self.num_free_blocks >= int(needs_new)
+
+    def append_slot(self, seq: Sequence) -> None:
+        """Reserve cache space for the last token; seal blocks that just
+        filled so their hash becomes visible to the prefix cache."""
+        off = len(seq) % self.block_size
+        if off == 1:
+            seq.block_table.append(self._take_free())
+        elif off == 0:
+            self._seal_full_block(seq, seq.num_blocks - 1)
+
+    def _seal_full_block(self, seq: Sequence, logical_idx: int) -> None:
+        tokens = seq.block_tokens(logical_idx)
+        if len(tokens) != self.block_size:
+            return
+        if any(t in self.non_cacheable for t in tokens):
+            return
+        bid = seq.block_table[logical_idx]
+        if self._hash[bid] != NO_HASH:
+            return  # already sealed (e.g. reused cached page)
+        prev = self._hash[seq.block_table[logical_idx - 1]] if logical_idx > 0 else NO_HASH
+        if logical_idx > 0 and prev == NO_HASH:
+            h = hash_block(tokens, NO_HASH)  # chain broken upstream; still publishable
+        else:
+            h = hash_block(tokens, prev)
+        self._publish(bid, h, tokens)
+
+    # -- teardown ---------------------------------------------------------
+    def deallocate(self, seq: Sequence) -> None:
+        for bid in reversed(seq.block_table):
+            self._release(bid)
+        seq.block_table.clear()
+        seq.num_cached_tokens = 0

@@ -1,0 +1,139 @@
+"""Continuous-batching scheduler with prefill priority and preemption.
+
+Behavioral parity target: reference nanovllm/engine/scheduler.py:41-110 —
+  * prefill-priority: drain the waiting queue FCFS under the
+    `max_num_seqs` / `max_num_batched_tokens` budgets (the token budget counts
+    only the *uncached suffix*, so prefix-cache hits admit more work);
+  * otherwise build a decode batch; when the allocator cannot extend a
+    running sequence, preempt victims (youngest running first, else the
+    sequence itself) back to the head of the waiting queue;
+  * postprocess appends the sampled token and finishes sequences on EOS /
+    max_tokens / max_model_len;
+  * abort by request id.
+
+Unlike the reference, preempted-then-rescheduled sequences re-enter through
+`allocate()` and therefore recover their still-cached prefix pages instead of
+recomputing everything.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterable, Optional
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.block_manager import BlockManager
+from nanovllm_tpu.engine.sequence import FinishReason, Sequence, SequenceStatus
+
+
+class Scheduler:
+
+    def __init__(self, config: Config, num_kvcache_blocks: int,
+                 non_cacheable_token_ids: Optional[Iterable[int]] = None):
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.max_model_len = config.max_model_len
+        self.eos = config.eos
+        # One physical block is reserved as the scratch page that padded
+        # decode lanes write into (reference scheduler.py:26-30) — the
+        # allocator never hands it out.
+        self.block_manager = BlockManager(
+            num_kvcache_blocks - 1,
+            config.kvcache_block_size,
+            non_cacheable_token_ids=non_cacheable_token_ids,
+        )
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    @property
+    def num_waiting(self) -> int:
+        return len(self.waiting)
+
+    @property
+    def num_running(self) -> int:
+        return len(self.running)
+
+    def add(self, seq: Sequence) -> None:
+        if len(seq) > self.max_model_len:
+            raise ValueError(
+                f"prompt of {len(seq)} tokens exceeds max_model_len={self.max_model_len}")
+        if seq.num_blocks > self.block_manager.num_blocks:
+            # Would wait forever: the page pool can never hold it.
+            raise ValueError(
+                f"prompt needs {seq.num_blocks} KV blocks but the pool only has "
+                f"{self.block_manager.num_blocks}")
+        self.waiting.append(seq)
+
+    def schedule(self) -> tuple[list[Sequence], bool]:
+        """Returns (batch, is_prefill). Empty batch means nothing runnable."""
+        batch: list[Sequence] = []
+        tokens = 0
+        while self.waiting and len(batch) < self.max_num_seqs:
+            seq = self.waiting[0]
+            if not self.block_manager.can_allocate(seq):
+                break
+            if seq.block_table:
+                # Preempted sequence re-entering: pages were freed, table must
+                # be rebuilt from scratch.
+                raise AssertionError("waiting sequence with live block table")
+            # Admission is budgeted optimistically on the full suffix; the
+            # cache hit discovered by allocate() only shrinks it.
+            if tokens + len(seq) > self.max_num_batched_tokens and batch:
+                break
+            self.waiting.popleft()
+            self.block_manager.allocate(seq)
+            seq.status = SequenceStatus.RUNNING
+            seq.finish_reason = None
+            self.running.append(seq)
+            batch.append(seq)
+            tokens += len(seq) - seq.num_cached_tokens
+        if batch:
+            return batch, True
+
+        while self.running and len(batch) < self.max_num_seqs:
+            seq = self.running.popleft()
+            while not self.block_manager.can_append_slot(seq):
+                if self.running:
+                    self.preempt(self.running.pop())
+                else:
+                    self.preempt(seq)
+                    seq = None
+                    break
+            if seq is not None:
+                self.block_manager.append_slot(seq)
+                batch.append(seq)
+        self.running.extendleft(reversed(batch))
+        return batch, False
+
+    def preempt(self, seq: Sequence) -> None:
+        seq.status = SequenceStatus.WAITING
+        seq.finish_reason = FinishReason.PREEMPTED
+        self.block_manager.deallocate(seq)
+        self.waiting.appendleft(seq)
+
+    def abort(self, request_id: str) -> None:
+        for queue in (self.waiting, self.running):
+            for seq in [s for s in queue if s.request_id == request_id]:
+                queue.remove(seq)
+                self.finish(seq, FinishReason.ABORTED)
+
+    def finish(self, seq: Sequence, reason: FinishReason) -> None:
+        seq.status = SequenceStatus.FINISHED
+        seq.finish_reason = reason
+        self.block_manager.deallocate(seq)
+
+    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> None:
+        for seq, token_id in zip(seqs, token_ids):
+            seq.append_token(token_id)
+            hit_eos = (not seq.ignore_eos) and token_id == self.eos
+            hit_max = seq.num_completion_tokens >= seq.max_tokens
+            hit_len = len(seq) >= self.max_model_len
+            if hit_eos:
+                self.finish(seq, FinishReason.EOS)
+                self.running.remove(seq)
+            elif hit_max or hit_len:
+                self.finish(seq, FinishReason.LENGTH)
+                self.running.remove(seq)
