@@ -1,0 +1,139 @@
+"""Host-side batch preparation: scheduler output -> fixed-shape numpy arrays.
+
+Parity target: reference nanovllm/engine/model_runner.py:238-366
+(prepare_prefill / prepare_decode / prepare_decode_padding). Differences:
+  * ONE layout serves prefill and decode (flattened varlen tokens + per-slot
+    page tables); decode is the T == S special case. The reference needed a
+    separate padded prep path purely for graph mode — under XLA fixed padded
+    shapes are the only path.
+  * Prefill computes just the uncached suffix (reference rebuilds the whole
+    prompt, model_runner.py:248-252).
+  * Padded lanes write their (garbage) KV into a reserved scratch page — the
+    same dummy-slot trick as reference model_runner.py:309-311 — and read
+    from slots whose context_len masks everything out.
+
+Shapes are quantized: T -> the configured token buckets, S -> max_num_seqs,
+page-table width -> max_model_len / block_size. One jit compilation per
+(T bucket, phase).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence as Seq
+
+import numpy as np
+
+from nanovllm_tpu.engine.sequence import Sequence
+
+
+@dataclass
+class HostBatch:
+    """Fixed-shape arrays ready for device transfer, plus host-only truths."""
+
+    input_ids: np.ndarray     # (T,) int32
+    seg_ids: np.ndarray       # (T,) int32
+    positions: np.ndarray     # (T,) int32
+    slot_mapping: np.ndarray  # (T,) int32
+    block_tables: np.ndarray  # (S, maxB) int32
+    context_lens: np.ndarray  # (S,) int32
+    last_token_idx: np.ndarray  # (S,) int32
+    temperatures: np.ndarray  # (S,) float32
+    num_seqs: int             # live slots
+    num_tokens: int           # live tokens
+    is_prefill: bool
+
+
+def pick_bucket(n: int, buckets: Seq[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"{n} tokens exceed largest bucket {buckets[-1]}")
+
+
+def prepare_batch(
+    seqs: list[Sequence],
+    is_prefill: bool,
+    *,
+    block_size: int,
+    dummy_slot: int,
+    max_num_seqs: int,
+    blocks_per_seq: int,
+    token_buckets: Seq[int],
+) -> HostBatch:
+    S = max_num_seqs
+    n = len(seqs)
+    assert 0 < n <= S
+
+    if is_prefill:
+        n_tokens = sum(len(s) - s.num_cached_tokens for s in seqs)
+        T = pick_bucket(n_tokens, token_buckets)
+    else:
+        n_tokens = n
+        T = S
+
+    input_ids = np.zeros(T, dtype=np.int32)
+    seg_ids = np.full(T, S - 1, dtype=np.int32)  # padding points at the last slot
+    positions = np.zeros(T, dtype=np.int32)
+    slot_mapping = np.full(T, dummy_slot, dtype=np.int32)
+    block_tables = np.zeros((S, blocks_per_seq), dtype=np.int32)
+    context_lens = np.zeros(S, dtype=np.int32)
+    last_token_idx = np.zeros(S, dtype=np.int32)
+    temperatures = np.ones(S, dtype=np.float32)
+
+    if is_prefill and n == S and n_tokens < T:
+        # Padding tokens must target a masked slot (context_len 0); with every
+        # slot live, fall back to pointing them at slot of seq 0 — their
+        # output is still discarded, and their causal mask only sees that
+        # sequence's real history, which is harmless but nonzero. Avoid by
+        # keeping max_num_seqs above the prefill seq count in configs.
+        pass
+
+    t = 0
+    for i, seq in enumerate(seqs):
+        table = seq.block_table
+        block_tables[i, : len(table)] = table
+        context_lens[i] = len(seq)
+        temperatures[i] = seq.temperature
+        if is_prefill:
+            start = seq.num_cached_tokens
+            span = len(seq) - start
+            input_ids[t: t + span] = seq.token_ids[start:]
+            positions[t: t + span] = np.arange(start, len(seq), dtype=np.int32)
+            seg_ids[t: t + span] = i
+            # flat slots for positions [start, len)
+            pos = np.arange(start, len(seq), dtype=np.int64)
+            blocks = np.asarray(table, dtype=np.int64)[pos // block_size]
+            slot_mapping[t: t + span] = blocks * block_size + pos % block_size
+            t += span
+            last_token_idx[i] = t - 1
+        else:
+            input_ids[i] = seq.last_token
+            pos = len(seq) - 1
+            positions[i] = pos
+            seg_ids[i] = i
+            slot_mapping[i] = table[pos // block_size] * block_size + pos % block_size
+            last_token_idx[i] = i
+
+    if is_prefill and t < T:
+        # Padded query lanes: positions stay 0, seg -> slot S-1. If slot S-1
+        # is live, redirect padding to the first empty slot; else rely on the
+        # context-mask (pos 0 < context requires ctx>0; a live slot has
+        # ctx>0 and kv_pos 0 <= position 0 -> one unmasked key). Safe either
+        # way because padded outputs are never read, but keep masks clean
+        # when we can.
+        if n < S:
+            seg_ids[t:] = n  # first empty slot: context_len == 0 masks all
+    return HostBatch(
+        input_ids=input_ids,
+        seg_ids=seg_ids,
+        positions=positions,
+        slot_mapping=slot_mapping,
+        block_tables=block_tables,
+        context_lens=context_lens,
+        last_token_idx=last_token_idx,
+        temperatures=temperatures,
+        num_seqs=n,
+        num_tokens=n_tokens,
+        is_prefill=is_prefill,
+    )

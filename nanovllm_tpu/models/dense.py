@@ -1,0 +1,246 @@
+"""Generic dense decoder-only transformer, functional style.
+
+One parameterized core serves the whole dense model zoo — the spec flags
+cover the differences the reference implements as separate model files:
+  * Qwen3 / Qwen2 / Qwen2.5 (reference nanovllm/models/qwen3.py:40-218):
+    fused QKV, optional per-head q/k RMSNorm, optional QKV bias, SwiGLU MLP,
+    fused add-norm residuals, optional tied embeddings.
+  * Llama-3.x (reference nanovllm/models/llama.py): attention/MLP bias knobs,
+    llama3 rope rescaling.
+  * MiniCPM4 (reference nanovllm/models/mini_cpm4.py:304-391): embedding
+    scale, depth-scaled residuals, width-scaled logits, LongRoPE tables.
+
+TPU-first structure: parameters are a pytree of *layer-stacked* arrays and
+the decoder runs as one `lax.scan` over layers (one compiled body instead of
+L inlined copies); the paged KV cache is a stacked (L, ...) pair threaded
+through the scan carry and updated in place via donated buffers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nanovllm_tpu.ops import attention as attn_ops
+from nanovllm_tpu.ops.activation import silu_and_mul
+from nanovllm_tpu.ops.norms import add_rms_norm, rms_norm
+from nanovllm_tpu.ops.rope import apply_rope
+
+
+@dataclass(frozen=True)
+class DenseSpec:
+    """Static (hashable) architecture description — safe as a jit constant."""
+
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = True
+    qk_norm: bool = False          # Qwen3: per-head RMSNorm on q and k
+    qkv_bias: bool = False         # Qwen2 / Llama attention_bias
+    o_bias: bool = False
+    mlp_bias: bool = False
+    # MiniCPM4 scaling knobs (neutral values = ordinary model)
+    emb_scale: float = 1.0         # scale_emb
+    residual_scale: float = 1.0    # scale_depth / sqrt(num_layers)
+    logit_scale: float = 1.0       # 1 / (hidden_size / dim_model_base)
+    # rope scaling, flattened to a hashable tag; tables are built host-side
+    rope_variant: str = "default"
+
+    @property
+    def q_size(self) -> int:
+        return self.num_q_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def qkv_size(self) -> int:
+        return self.q_size + 2 * self.kv_size
+
+
+def _split_qkv(qkv, spec: DenseSpec):
+    q = qkv[..., : spec.q_size]
+    k = qkv[..., spec.q_size: spec.q_size + spec.kv_size]
+    v = qkv[..., spec.q_size + spec.kv_size:]
+    return q, k, v
+
+
+def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
+                  k_cache_l, v_cache_l, meta: attn_ops.AttnMeta,
+                  attn_fn):
+    """One decoder layer. h/residual: (T, D). Returns (h, residual, k, v)
+    where k/v are this layer's freshly written cache pages."""
+    T = h.shape[0]
+    normed, residual = add_rms_norm(h, residual, lp["ln1"], spec.rms_norm_eps)
+
+    qkv = normed @ lp["wqkv"]
+    if spec.qkv_bias:
+        qkv = qkv + lp["bqkv"]
+    q, k, v = _split_qkv(qkv, spec)
+    q = q.reshape(T, spec.num_q_heads, spec.head_dim)
+    k = k.reshape(T, spec.num_kv_heads, spec.head_dim)
+    v = v.reshape(T, spec.num_kv_heads, spec.head_dim)
+    if spec.qk_norm:
+        q = rms_norm(q, lp["q_norm"], spec.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
+    q = apply_rope(q, cos, sin, meta.positions)
+    k = apply_rope(k, cos, sin, meta.positions)
+
+    k_cache_l, v_cache_l = attn_ops.write_kv(k_cache_l, v_cache_l, k, v,
+                                             meta.slot_mapping)
+    o = attn_fn(q, k_cache_l, v_cache_l, meta, spec.head_dim ** -0.5)
+    o = o.reshape(T, spec.q_size) @ lp["wo"]
+    if spec.o_bias:
+        o = o + lp["bo"]
+    o = o * spec.residual_scale
+
+    normed, residual = add_rms_norm(o, residual, lp["ln2"], spec.rms_norm_eps)
+    gu = normed @ lp["wgu"]
+    if spec.mlp_bias:
+        gu = gu + lp["bgu"]
+    mlp_out = silu_and_mul(gu) @ lp["wdown"]
+    if spec.mlp_bias:
+        mlp_out = mlp_out + lp["bdown"]
+    mlp_out = mlp_out * spec.residual_scale
+    return mlp_out, residual, k_cache_l, v_cache_l
+
+
+def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
+            k_cache, v_cache, attn_fn=None):
+    """Run the decoder. input_ids: (T,). k_cache/v_cache: (L, NB, KVH, bs, hd),
+    expected donated by the caller's jit. Returns (last_hidden (S, D),
+    k_cache, v_cache)."""
+    if attn_fn is None:
+        attn_fn = default_attn_fn
+    h = params["embed"][input_ids].astype(k_cache_dtype_to_compute(k_cache)) * spec.emb_scale
+    residual = jnp.zeros_like(h)
+    cos, sin = params["rope_cos"], params["rope_sin"]
+
+    def body(carry, xs):
+        h, residual, k_cache, v_cache = carry
+        lp, idx = xs
+        k_l = k_cache[idx]
+        v_l = v_cache[idx]
+        h, residual, k_l, v_l = decoder_layer(
+            spec, lp, h, residual, cos, sin, k_l, v_l, meta, attn_fn)
+        k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k_l, idx, 0)
+        v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v_l, idx, 0)
+        return (h, residual, k_cache, v_cache), None
+
+    idxs = jnp.arange(spec.num_layers, dtype=jnp.int32)
+    (h, residual, k_cache, v_cache), _ = jax.lax.scan(
+        body, (h, residual, k_cache, v_cache), (params["layers"], idxs))
+
+    final = h + residual
+    # Only the last query token of each slot feeds the LM head.
+    selected = final[meta.last_token_idx]  # (S, D)
+    selected = rms_norm(selected, params["final_ln"], spec.rms_norm_eps)
+    return selected, k_cache, v_cache
+
+
+def compute_logits(spec: DenseSpec, params, hidden):
+    """hidden: (S, D) -> logits (S, V) float32."""
+    logits = hidden @ params["lm_head"]
+    return logits.astype(jnp.float32) * spec.logit_scale
+
+
+def k_cache_dtype_to_compute(k_cache):
+    """Model compute dtype follows the cache unless the cache is quantized."""
+    return jnp.bfloat16 if k_cache.dtype == jnp.int8 else k_cache.dtype
+
+
+def default_attn_fn(q, k_cache_l, v_cache_l, meta, scale):
+    """Exact jnp reference path (CPU tests / small shapes)."""
+    return attn_ops.ragged_attention_reference(q, k_cache_l, v_cache_l, meta, scale)
+
+
+# ---------------------------------------------------------------------------
+# Spec construction from HF configs
+# ---------------------------------------------------------------------------
+
+def spec_from_hf(cfg, max_model_len: Optional[int] = None) -> DenseSpec:
+    """Map a transformers config (Qwen3/Qwen2/Llama/MiniCPM) to a DenseSpec."""
+    arch = (getattr(cfg, "architectures", None) or [""])[0]
+    head_dim = getattr(cfg, "head_dim", None) or cfg.hidden_size // cfg.num_attention_heads
+    qk_norm = arch.startswith("Qwen3") or hasattr(cfg, "q_norm")
+    qkv_bias = bool(getattr(cfg, "attention_bias", False))
+    if arch.startswith("Qwen2"):
+        qkv_bias = True  # Qwen2 always has qkv bias
+    kw: dict = {}
+    if arch.startswith("MiniCPM"):
+        scale_depth = getattr(cfg, "scale_depth", 1.0)
+        kw.update(
+            emb_scale=float(getattr(cfg, "scale_emb", 1.0)),
+            residual_scale=float(scale_depth) / (cfg.num_hidden_layers ** 0.5),
+            logit_scale=1.0 / (cfg.hidden_size / getattr(cfg, "dim_model_base", cfg.hidden_size)),
+        )
+    rope_scaling = getattr(cfg, "rope_scaling", None)
+    rope_variant = "default"
+    if rope_scaling:
+        rope_variant = rope_scaling.get("rope_type") or rope_scaling.get("type") or "default"
+    return DenseSpec(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_layers=cfg.num_hidden_layers,
+        num_q_heads=cfg.num_attention_heads,
+        num_kv_heads=getattr(cfg, "num_key_value_heads", cfg.num_attention_heads),
+        head_dim=head_dim,
+        intermediate_size=cfg.intermediate_size,
+        rms_norm_eps=getattr(cfg, "rms_norm_eps", 1e-6),
+        rope_theta=float(getattr(cfg, "rope_theta", 10000.0)),
+        max_position_embeddings=max_model_len or getattr(cfg, "max_position_embeddings", 4096),
+        tie_word_embeddings=bool(getattr(cfg, "tie_word_embeddings", False)),
+        qk_norm=qk_norm,
+        qkv_bias=qkv_bias,
+        rope_variant=rope_variant,
+        **kw,
+    )
+
+
+def init_params(spec: DenseSpec, key, dtype=jnp.bfloat16, rope_scaling=None):
+    """Random-init a full parameter pytree (benching / tests without weights)."""
+    from nanovllm_tpu.ops.rope import rope_table
+
+    k = jax.random.split(key, 8)
+    D, L = spec.hidden_size, spec.num_layers
+    scale = 0.02
+
+    def rnd(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "ln1": jnp.ones((L, D), dtype),
+        "ln2": jnp.ones((L, D), dtype),
+        "wqkv": rnd(k[0], (L, D, spec.qkv_size)),
+        "wo": rnd(k[1], (L, spec.q_size, D)),
+        "wgu": rnd(k[2], (L, D, 2 * spec.intermediate_size)),
+        "wdown": rnd(k[3], (L, spec.intermediate_size, D)),
+    }
+    if spec.qkv_bias:
+        layers["bqkv"] = jnp.zeros((L, spec.qkv_size), dtype)
+    if spec.qk_norm:
+        layers["q_norm"] = jnp.ones((L, spec.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, spec.head_dim), dtype)
+    embed = rnd(k[4], (spec.vocab_size, D))
+    cos, sin = rope_table(spec.head_dim, spec.max_position_embeddings,
+                          spec.rope_theta, rope_scaling)
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_ln": jnp.ones((D,), dtype),
+        "lm_head": embed.T if spec.tie_word_embeddings else rnd(k[5], (D, spec.vocab_size)),
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }

@@ -1,0 +1,150 @@
+"""Paged KV-cache attention: metadata plumbing, cache writes, and the pure-jnp
+reference backends. The Pallas kernels (ops/pallas/) plug into the same
+interfaces; backend selection lives in `get_backend`.
+
+Parity targets:
+  * KV write      — reference torch_npu._npu_reshape_and_cache /
+                    scatter_update_ (nanovllm/layers/attention.py:22-35)
+  * varlen prefill— npu_fused_infer_attention_score_v2, TND layout
+                    (nanovllm/layers/attention.py:49-59)
+  * paged decode  — same op, BNSD layout over block tables
+                    (nanovllm/layers/attention.py:63-93)
+  * jnp reference — nanovllm/layers/attention_torch_native.py (the hardware-
+                    free "textbook" backend used for tests)
+
+Design differences from the reference (TPU-first):
+  * ONE flattened varlen layout serves prefill and decode; decode is the
+    T == num_slots special case. Queries always read K/V from the paged cache
+    (so prefill computes only the uncached suffix — the reference recomputes
+    whole prompts, nanovllm/engine/model_runner.py:238-290).
+  * Cache layout is (num_blocks, kv_heads, block_size, head_dim): one
+    (block_size, head_dim) tile per (page, head) is contiguous, which is the
+    DMA granule of the Pallas decode kernel.
+  * All batch metadata is fixed-shape, padded device arrays — one compiled
+    step serves every cache state (the reference needed a separate
+    "padding" prep path for graph mode, model_runner.py:292-342).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class AttnMeta(NamedTuple):
+    """Per-step batch metadata. T = padded token count, S = padded seq slots.
+
+    Padding convention: unused token lanes have seg_id pointing at a slot with
+    context_len == 0 and slot_mapping pointing at the reserved scratch page.
+    """
+
+    seg_ids: jax.Array       # (T,) int32: query token -> batch slot
+    positions: jax.Array     # (T,) int32: absolute position of each query
+    slot_mapping: jax.Array  # (T,) int32: flat cache slot (block*bs + off)
+    block_tables: jax.Array  # (S, maxB) int32: physical page ids, 0-padded
+    context_lens: jax.Array  # (S,) int32: kv length per slot incl. new tokens
+    last_token_idx: jax.Array  # (S,) int32: index into T of each slot's last query
+    num_seqs: jax.Array      # () int32: live slots (for host-side truncation)
+
+
+def write_kv(k_cache, v_cache, k, v, slot_mapping):
+    """Scatter new K/V rows into the paged cache.
+
+    k_cache/v_cache: (num_blocks, KVH, block_size, head_dim) — donated.
+    k/v: (T, KVH, head_dim). slot_mapping: (T,) flat slots.
+    """
+    bs = k_cache.shape[2]
+    blocks = slot_mapping // bs
+    offs = slot_mapping % bs
+    k = k.astype(k_cache.dtype)
+    v = v.astype(v_cache.dtype)
+    # Advanced indexing (T,)block × full KVH × (T,)off — value shape (T, KVH, hd).
+    k_cache = k_cache.at[blocks, :, offs, :].set(k, mode="drop")
+    v_cache = v_cache.at[blocks, :, offs, :].set(v, mode="drop")
+    return k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# jnp reference backend (hardware-free; exact, O(T * max_kv) memory)
+# ---------------------------------------------------------------------------
+
+def ragged_attention_reference(q, k_cache, v_cache, meta: AttnMeta, scale: float):
+    """Exact ragged paged attention by full gather. Test/CPU sizes only.
+
+    q: (T, QH, hd) -> out (T, QH, hd).
+    """
+    T, QH, hd = q.shape
+    KVH = k_cache.shape[1]
+    bs = k_cache.shape[2]
+    S, maxB = meta.block_tables.shape
+    G = QH // KVH
+
+    # (S, maxB, KVH, bs, hd) -> (S, KVH, maxB*bs, hd)
+    k_all = k_cache[meta.block_tables].transpose(0, 2, 1, 3, 4).reshape(S, KVH, maxB * bs, hd)
+    v_all = v_cache[meta.block_tables].transpose(0, 2, 1, 3, 4).reshape(S, KVH, maxB * bs, hd)
+    k_tok = k_all[meta.seg_ids]  # (T, KVH, Lk, hd)
+    v_tok = v_all[meta.seg_ids]
+
+    qf = q.reshape(T, KVH, G, hd).astype(jnp.float32)
+    scores = jnp.einsum("tkgh,tklh->tkgl", qf, k_tok.astype(jnp.float32)) * scale
+
+    kv_pos = jnp.arange(maxB * bs, dtype=jnp.int32)
+    ctx = meta.context_lens[meta.seg_ids]  # (T,)
+    valid = kv_pos[None, :] < ctx[:, None]                       # within context
+    causal = kv_pos[None, :] <= meta.positions[:, None]          # no peeking ahead
+    mask = (valid & causal)[:, None, None, :]
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = jnp.where(mask, p, 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("tkgl,tklh->tkgh", p / jnp.maximum(denom, 1e-20),
+                     v_tok.astype(jnp.float32))
+    return out.reshape(T, QH, hd).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# jnp decode backend (memory-safe: streams pages with online softmax)
+# ---------------------------------------------------------------------------
+
+def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
+                               scale: float):
+    """Flash-style decode: one query per slot, scan over page columns.
+
+    q: (S, QH, hd) -> (S, QH, hd). Reads all maxB page columns (the Pallas
+    kernel replaces this with per-sequence early exit).
+    """
+    S, QH, hd = q.shape
+    KVH, bs = k_cache.shape[1], k_cache.shape[2]
+    G = QH // KVH
+    maxB = block_tables.shape[1]
+    qg = q.reshape(S, KVH, G, hd).astype(jnp.float32)
+
+    def body(carry, j):
+        m, l, acc = carry
+        pages = block_tables[:, j]                       # (S,)
+        k = k_cache[pages].astype(jnp.float32)           # (S, KVH, bs, hd)
+        v = v_cache[pages].astype(jnp.float32)
+        s = jnp.einsum("skgh,skbh->skgb", qg, k) * scale
+        pos = j * bs + jnp.arange(bs, dtype=jnp.int32)
+        live = pos[None, :] < context_lens[:, None]      # (S, bs)
+        s = jnp.where(live[:, None, None, :], s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        p = jnp.where(live[:, None, None, :], p, 0.0)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum("skgb,skbh->skgh", p, v)
+        return (m_new, l, acc), None
+
+    init = (jnp.full((S, KVH, G), NEG_INF, jnp.float32),
+            jnp.zeros((S, KVH, G), jnp.float32),
+            jnp.zeros((S, KVH, G, hd), jnp.float32))
+    (m, l, acc), _ = jax.lax.scan(body, init, jnp.arange(maxB, dtype=jnp.int32))
+    out = acc / jnp.maximum(l, 1e-20)[..., None]
+    return out.reshape(S, QH, hd).astype(q.dtype)

@@ -1,0 +1,148 @@
+"""Checkpoint loading: HF llama-family safetensors -> layer-stacked fused
+params pytree.
+
+Parity target: reference nanovllm/utils/loader.py:12-59 — streaming
+*.safetensors shards and routing q/k/v + gate/up shards into fused parameters
+(the reference's `packed_modules_mapping`). Here fusion lands in pre-allocated
+numpy buffers per *stacked* parameter (all layers of a weight in one array),
+which is what the scan-over-layers model consumes; `jax.device_put` with an
+optional NamedSharding then places each stacked array directly into its final
+(possibly mesh-sharded) layout without a host-side repack.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.models.dense import DenseSpec
+
+
+def _iter_safetensors(path: str):
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no *.safetensors under {path}")
+    from safetensors import safe_open
+
+    for f in files:
+        with safe_open(f, framework="numpy") as sf:
+            for name in sf.keys():
+                yield name, sf.get_tensor(name)
+
+
+def _iter_state_dict(sd: dict):
+    for name, t in sd.items():
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        yield name, np.asarray(t)
+
+
+def load_dense_params(
+    spec: DenseSpec,
+    source,
+    dtype=jnp.bfloat16,
+    rope_scaling: Optional[dict] = None,
+    shard_fn: Optional[Callable[[str, np.ndarray], jax.Array]] = None,
+):
+    """Build the params pytree for models/dense.py.
+
+    source: checkpoint dir (safetensors) or a torch/numpy state_dict.
+    shard_fn(param_name, np_array) -> device array; defaults to device_put.
+    """
+    np_dtype = np.dtype(jnp.dtype(dtype).name) if dtype != jnp.bfloat16 else None
+    D, L = spec.hidden_size, spec.num_layers
+
+    def buf(shape):
+        return np.zeros(shape, dtype=np.float32)
+
+    layers = {
+        "ln1": buf((L, D)),
+        "ln2": buf((L, D)),
+        "wqkv": buf((L, D, spec.qkv_size)),
+        "wo": buf((L, spec.q_size, D)),
+        "wgu": buf((L, D, 2 * spec.intermediate_size)),
+        "wdown": buf((L, spec.intermediate_size, D)),
+    }
+    if spec.qkv_bias:
+        layers["bqkv"] = buf((L, spec.qkv_size))
+    if spec.qk_norm:
+        layers["q_norm"] = buf((L, spec.head_dim))
+        layers["k_norm"] = buf((L, spec.head_dim))
+    top = {
+        "embed": buf((spec.vocab_size, D)),
+        "final_ln": buf((D,)),
+        "lm_head": None if spec.tie_word_embeddings else buf((D, spec.vocab_size)),
+    }
+
+    qs, ks = spec.q_size, spec.kv_size
+    # (stacked buffer, column slice, transpose?) per HF suffix
+    col = {
+        "self_attn.q_proj.weight": ("wqkv", slice(0, qs), True),
+        "self_attn.k_proj.weight": ("wqkv", slice(qs, qs + ks), True),
+        "self_attn.v_proj.weight": ("wqkv", slice(qs + ks, qs + 2 * ks), True),
+        "self_attn.q_proj.bias": ("bqkv", slice(0, qs), False),
+        "self_attn.k_proj.bias": ("bqkv", slice(qs, qs + ks), False),
+        "self_attn.v_proj.bias": ("bqkv", slice(qs + ks, qs + 2 * ks), False),
+        "self_attn.o_proj.weight": ("wo", slice(None), True),
+        "self_attn.q_norm.weight": ("q_norm", slice(None), False),
+        "self_attn.k_norm.weight": ("k_norm", slice(None), False),
+        "input_layernorm.weight": ("ln1", slice(None), False),
+        "post_attention_layernorm.weight": ("ln2", slice(None), False),
+        "mlp.gate_proj.weight": ("wgu", slice(0, spec.intermediate_size), True),
+        "mlp.up_proj.weight": ("wgu", slice(spec.intermediate_size, None), True),
+        "mlp.down_proj.weight": ("wdown", slice(None), True),
+    }
+
+    it = _iter_safetensors(source) if isinstance(source, str) else _iter_state_dict(source)
+    for name, tensor in it:
+        tensor = np.asarray(tensor, dtype=np.float32)
+        if name in ("model.embed_tokens.weight", "embed_tokens.weight"):
+            top["embed"][:] = tensor[: spec.vocab_size]
+        elif name in ("model.norm.weight", "norm.weight"):
+            top["final_ln"][:] = tensor
+        elif name == "lm_head.weight":
+            if not spec.tie_word_embeddings:
+                top["lm_head"][:] = tensor[: spec.vocab_size].T
+        elif ".layers." in name:
+            prefix, _, rest = name.partition(".layers.")
+            idx_str, _, suffix = rest.partition(".")
+            i = int(idx_str)
+            entry = col.get(suffix)
+            if entry is None:
+                continue  # unknown per-layer tensor (e.g. rotary inv_freq buffers)
+            tgt, sl, transpose = entry
+            if tgt not in layers:
+                continue
+            value = tensor.T if transpose else tensor
+            if layers[tgt].ndim == 3:
+                layers[tgt][i][:, sl] = value
+            else:
+                layers[tgt][i][sl] = value
+        # anything else (rotary buffers etc.) is derived, not loaded
+
+    place = shard_fn or (lambda _name, arr: jax.device_put(arr))
+
+    def finalize(name, arr):
+        return place(name, np.asarray(arr, dtype=np.float32)).astype(dtype)
+
+    params = {
+        "embed": finalize("embed", top["embed"]),
+        "layers": {k: finalize(f"layers.{k}", v) for k, v in layers.items()},
+        "final_ln": finalize("final_ln", top["final_ln"]),
+    }
+    if spec.tie_word_embeddings:
+        params["lm_head"] = params["embed"].T
+    else:
+        params["lm_head"] = finalize("lm_head", top["lm_head"])
+
+    from nanovllm_tpu.ops.rope import rope_table
+
+    cos, sin = rope_table(spec.head_dim, spec.max_position_embeddings,
+                          spec.rope_theta, rope_scaling)
+    params["rope_cos"], params["rope_sin"] = cos, sin
+    return params
