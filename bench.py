@@ -1,0 +1,95 @@
+"""Offline throughput benchmark — the reference's bench/bench.py workload:
+256 sequences, input 100-1024 tokens, output 100-1024 tokens, temperature
+0.6, ignore_eos (reference bench/bench.py:16-39, README.md:427-432).
+
+No model weights ship in this environment, so the model is a Qwen3-0.6B-
+shaped network with random weights — identical compute/memory profile to the
+real checkpoint, which is what throughput measures.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the reference's published Qwen3-0.6B number
+(3904.20 tok/s on an Atlas A3 910C NPU, reference README.md:315).
+"""
+
+import argparse
+import json
+import sys
+import time
+from random import randint, seed
+
+
+BASELINE_QWEN3_0_6B = 3904.20  # tok/s, reference README.md:315
+
+
+def qwen3_0_6b_config():
+    from transformers import Qwen3Config
+
+    return Qwen3Config(
+        vocab_size=151936, hidden_size=1024, intermediate_size=3072,
+        num_hidden_layers=28, num_attention_heads=16, num_key_value_heads=8,
+        head_dim=128, max_position_embeddings=40960, rope_theta=1000000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=True,
+        architectures=["Qwen3ForCausalLM"],
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default=None, help="HF checkpoint dir (default: random-weight Qwen3-0.6B)")
+    parser.add_argument("--num-seqs", type=int, default=256)
+    parser.add_argument("--max-input-len", type=int, default=1024)
+    parser.add_argument("--max-output-len", type=int, default=1024)
+    parser.add_argument("--max-num-seqs", type=int, default=96)
+    parser.add_argument("--max-model-len", type=int, default=2048)
+    parser.add_argument("--max-num-batched-tokens", type=int, default=4096)
+    parser.add_argument("--block-size", type=int, default=256)
+    parser.add_argument("--kv-cache-dtype", default="auto")
+    parser.add_argument("--attention-backend", default="auto")
+    parser.add_argument("--smoke", action="store_true", help="tiny quick run")
+    args = parser.parse_args()
+
+    from nanovllm_tpu import LLM, SamplingParams
+
+    seed(0)
+    if args.smoke:
+        args.num_seqs, args.max_input_len, args.max_output_len = 8, 64, 32
+        args.max_num_seqs = 8
+
+    model = args.model or qwen3_0_6b_config()
+    llm = LLM(
+        model,
+        max_num_seqs=args.max_num_seqs,
+        max_model_len=args.max_model_len,
+        max_num_batched_tokens=args.max_num_batched_tokens,
+        kvcache_block_size=args.block_size,
+        kv_cache_dtype=args.kv_cache_dtype,
+        attention_backend=args.attention_backend,
+    )
+
+    prompts = [[randint(0, 10000) for _ in range(randint(100, args.max_input_len))]
+               for _ in range(args.num_seqs)]
+    sps = [SamplingParams(temperature=0.6, ignore_eos=True,
+                          max_tokens=randint(100, args.max_output_len))
+           for _ in range(args.num_seqs)]
+
+    # tiny warm run (jit shapes already compiled by engine warmup)
+    llm.generate([[randint(0, 10000) for _ in range(32)]],
+                 SamplingParams(max_tokens=8, ignore_eos=True), use_tqdm=False)
+
+    t = time.time()
+    llm.generate(prompts, sps, use_tqdm=False)
+    dt = time.time() - t
+    total_tokens = sum(sp.max_tokens for sp in sps)
+    throughput = total_tokens / dt
+    print(f"Total: {total_tokens}tok, Time: {dt:.2f}s, "
+          f"Throughput: {throughput:.2f}tok/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "qwen3_0.6b_offline_throughput",
+        "value": round(throughput, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(throughput / BASELINE_QWEN3_0_6B, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,7 @@ class Config:
     dtype: str = "auto"  # model compute dtype: auto | bfloat16 | float32
     quantization: Optional[str] = None  # None | "int8" (weight-only)
     attention_backend: str = "auto"  # auto | pallas | jnp
+    prefill_chunk: int = 128  # query-chunk alignment of the prefill layout
     use_graph_cache: bool = True  # persistent XLA compilation cache
     compile_cache_dir: str = os.path.expanduser("~/.cache/nanovllm_tpu_xla")
     prefill_token_buckets: tuple = _BUCKET_DEFAULT
@@ -59,7 +60,9 @@ class Config:
             self.max_model_len = min(self.max_model_len, int(hf_max))
         if self.eos == -1:
             self.eos = self._resolve_eos()
-        self.max_num_batched_tokens = max(self.max_num_batched_tokens, self.max_model_len)
+        # The budget must cover one max-length prompt after chunk alignment.
+        aligned_max = -(-self.max_model_len // self.prefill_chunk) * self.prefill_chunk
+        self.max_num_batched_tokens = max(self.max_num_batched_tokens, aligned_max)
         # Prefill buckets must cover the full budget.
         buckets = sorted(b for b in self.prefill_token_buckets if b <= self.max_num_batched_tokens)
         if not buckets or buckets[-1] < self.max_num_batched_tokens:

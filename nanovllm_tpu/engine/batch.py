@@ -38,6 +38,7 @@ class HostBatch:
     block_tables: np.ndarray  # (S, maxB) int32
     context_lens: np.ndarray  # (S,) int32
     last_token_idx: np.ndarray  # (S,) int32
+    chunk_seg: np.ndarray     # (T // CQ,) int32: query chunk -> slot
     temperatures: np.ndarray  # (S,) float32
     num_seqs: int             # live slots
     num_tokens: int           # live tokens
@@ -51,6 +52,16 @@ def pick_bucket(n: int, buckets: Seq[int]) -> int:
     raise ValueError(f"{n} tokens exceed largest bucket {buckets[-1]}")
 
 
+def align_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def prefill_cost(seq: Sequence, chunk: int) -> int:
+    """Device tokens a sequence's prefill will occupy (chunk-aligned).
+    The scheduler budgets with this so batches always fit a bucket."""
+    return align_up(len(seq) - seq.num_cached_tokens, chunk)
+
+
 def prepare_batch(
     seqs: list[Sequence],
     is_prefill: bool,
@@ -60,34 +71,32 @@ def prepare_batch(
     max_num_seqs: int,
     blocks_per_seq: int,
     token_buckets: Seq[int],
+    chunk: int = 128,
 ) -> HostBatch:
     S = max_num_seqs
     n = len(seqs)
     assert 0 < n <= S
 
     if is_prefill:
-        n_tokens = sum(len(s) - s.num_cached_tokens for s in seqs)
+        n_tokens = sum(prefill_cost(s, chunk) for s in seqs)
         T = pick_bucket(n_tokens, token_buckets)
     else:
         n_tokens = n
         T = S
 
+    # Padding lanes point at the first empty slot when one exists (its
+    # context_len 0 masks every key); with all slots live they fall back to
+    # slot 0 — harmless garbage, never read.
+    pad_slot = n if n < S else 0
     input_ids = np.zeros(T, dtype=np.int32)
-    seg_ids = np.full(T, S - 1, dtype=np.int32)  # padding points at the last slot
+    seg_ids = np.full(T, pad_slot, dtype=np.int32)
     positions = np.zeros(T, dtype=np.int32)
     slot_mapping = np.full(T, dummy_slot, dtype=np.int32)
     block_tables = np.zeros((S, blocks_per_seq), dtype=np.int32)
     context_lens = np.zeros(S, dtype=np.int32)
     last_token_idx = np.zeros(S, dtype=np.int32)
+    chunk_seg = np.full(max(T // chunk, 1), pad_slot, dtype=np.int32)
     temperatures = np.ones(S, dtype=np.float32)
-
-    if is_prefill and n == S and n_tokens < T:
-        # Padding tokens must target a masked slot (context_len 0); with every
-        # slot live, fall back to pointing them at slot of seq 0 — their
-        # output is still discarded, and their causal mask only sees that
-        # sequence's real history, which is harmless but nonzero. Avoid by
-        # keeping max_num_seqs above the prefill seq count in configs.
-        pass
 
     t = 0
     for i, seq in enumerate(seqs):
@@ -101,12 +110,16 @@ def prepare_batch(
             input_ids[t: t + span] = seq.token_ids[start:]
             positions[t: t + span] = np.arange(start, len(seq), dtype=np.int32)
             seg_ids[t: t + span] = i
-            # flat slots for positions [start, len)
             pos = np.arange(start, len(seq), dtype=np.int64)
             blocks = np.asarray(table, dtype=np.int64)[pos // block_size]
             slot_mapping[t: t + span] = blocks * block_size + pos % block_size
-            t += span
-            last_token_idx[i] = t - 1
+            last_token_idx[i] = t + span - 1
+            aligned = align_up(span, chunk)
+            chunk_seg[t // chunk: (t + aligned) // chunk] = i
+            # intra-sequence padding lanes up to the chunk boundary: the
+            # seg stays on this sequence (chunk invariant) but their KV
+            # writes go to the scratch page and outputs are never read.
+            t += aligned
         else:
             input_ids[i] = seq.last_token
             pos = len(seq) - 1
@@ -115,15 +128,6 @@ def prepare_batch(
             slot_mapping[i] = table[pos // block_size] * block_size + pos % block_size
             last_token_idx[i] = i
 
-    if is_prefill and t < T:
-        # Padded query lanes: positions stay 0, seg -> slot S-1. If slot S-1
-        # is live, redirect padding to the first empty slot; else rely on the
-        # context-mask (pos 0 < context requires ctx>0; a live slot has
-        # ctx>0 and kv_pos 0 <= position 0 -> one unmasked key). Safe either
-        # way because padded outputs are never read, but keep masks clean
-        # when we can.
-        if n < S:
-            seg_ids[t:] = n  # first empty slot: context_len == 0 masks all
     return HostBatch(
         input_ids=input_ids,
         seg_ids=seg_ids,
@@ -132,6 +136,7 @@ def prepare_batch(
         block_tables=block_tables,
         context_lens=context_lens,
         last_token_idx=last_token_idx,
+        chunk_seg=chunk_seg,
         temperatures=temperatures,
         num_seqs=n,
         num_tokens=n_tokens,

@@ -106,6 +106,7 @@ class BlockManager:
     def allocate(self, seq: Sequence) -> None:
         """Build seq.block_table, reusing cached prefix pages where possible."""
         assert not seq.block_table
+        seq.num_cached_tokens = 0  # may hold a stale value after preemption
         chain = NO_HASH
         chain_alive = True
         for i in range(seq.num_blocks):
@@ -176,4 +177,5 @@ class BlockManager:
         for bid in reversed(seq.block_table):
             self._release(bid)
         seq.block_table.clear()
-        seq.num_cached_tokens = 0
+        # num_cached_tokens is intentionally left: finished sequences report
+        # it (engine step output), and allocate() resets it on re-entry.

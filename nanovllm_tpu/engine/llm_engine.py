@@ -1,0 +1,150 @@
+"""Engine orchestrator: tokenizer + scheduler + runner + the step loop.
+
+Parity target: reference nanovllm/engine/llm_engine.py:30-176 — same public
+surface (`add_request`, `step`, `generate`, `abort_request`, `is_finished`)
+and the same generate() output records ({"text", "token_ids", "prompt_len",
+"cache_tokens"}). Single process per host: no worker spawning, no SHM RPC
+(reference llm_engine.py:39-49) — XLA SPMD owns the chips.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional, Union
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.model_runner import ModelRunner
+from nanovllm_tpu.engine.scheduler import Scheduler
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+class LLMEngine:
+
+    def __init__(self, model, **kwargs):
+        config_keys = set(Config.__dataclass_fields__)
+        cfg_kwargs = {k: v for k, v in kwargs.items() if k in config_keys}
+        unknown = set(kwargs) - config_keys - {"warmup"}
+        if unknown:
+            logger.warning("ignoring unknown engine kwargs: %s", sorted(unknown))
+        self.config = Config(model=model, **cfg_kwargs)
+        self.tokenizer = self._load_tokenizer()
+        if self.config.eos < 0 and self.tokenizer is not None \
+                and self.tokenizer.eos_token_id is not None:
+            self.config.eos = int(self.tokenizer.eos_token_id)
+
+        self.model_runner = ModelRunner(self.config)
+        self.scheduler = Scheduler(
+            self.config, self.model_runner.num_kvcache_blocks,
+            non_cacheable_token_ids=self._non_cacheable_token_ids())
+        if kwargs.get("warmup", True):
+            self.model_runner.warmup()
+
+    def _load_tokenizer(self):
+        path = self.config.model_path
+        if not path:
+            return None
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(path)
+        except Exception as e:  # tokenless checkpoints: token-id prompts only
+            logger.warning("no tokenizer loaded (%s); pass token-id prompts", e)
+            return None
+
+    def _non_cacheable_token_ids(self):
+        if not self.config.is_multimodal:
+            return None
+        ids = []
+        for attr in ("image_token_id", "vision_start_token_id", "vision_end_token_id"):
+            tid = getattr(self.config.hf_config, attr, None)
+            if tid is not None:
+                ids.append(int(tid))
+        return ids
+
+    # -- request lifecycle --------------------------------------------------
+    def add_request(self, prompt: Union[str, list[int]],
+                    sampling_params: Optional[SamplingParams] = None,
+                    request_id: Optional[str] = None,
+                    **mm_kwargs) -> Sequence:
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("string prompt but no tokenizer available")
+            prompt = self.tokenizer.encode(prompt)
+        seq = Sequence(prompt, sampling_params, request_id=request_id,
+                       block_size=self.config.kvcache_block_size, **mm_kwargs)
+        seq.arrival_time = time.perf_counter()
+        self.scheduler.add(seq)
+        return seq
+
+    def abort_request(self, request_id: str) -> None:
+        self.scheduler.abort(request_id)
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    def step(self):
+        """One engine iteration. Returns (finished_outputs, num_tokens) where
+        num_tokens > 0 counts prefill tokens, < 0 counts decode tokens
+        (the reference's tqdm-throughput convention, llm_engine.py:120-127)."""
+        seqs, is_prefill = self.scheduler.schedule()
+        if not seqs:
+            return [], 0
+        token_ids = self.model_runner.run(seqs, is_prefill)
+        now = time.perf_counter()
+        for seq in seqs:
+            if seq.first_token_time is None:
+                seq.first_token_time = now
+        self.scheduler.postprocess(seqs, token_ids)
+        outputs = [
+            (seq.seq_id, seq.completion_token_ids, seq.num_prompt_tokens,
+             seq.num_cached_tokens)
+            for seq in seqs if seq.is_finished
+        ]
+        num_tokens = (sum(len(s) - s.num_cached_tokens for s in seqs)
+                      if is_prefill else -len(seqs))
+        return outputs, num_tokens
+
+    # -- batch generation ---------------------------------------------------
+    def generate(self, prompts, sampling_params=None, use_tqdm: bool = True):
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        seq_order = [self.add_request(p, sp).seq_id
+                     for p, sp in zip(prompts, sampling_params)]
+
+        pbar = None
+        if use_tqdm:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
+        prefill_tp = decode_tp = 0.0
+        done = {}
+        while not self.is_finished():
+            t = time.perf_counter()
+            outputs, num_tokens = self.step()
+            if pbar is not None:
+                dt = max(time.perf_counter() - t, 1e-9)
+                if num_tokens > 0:
+                    prefill_tp = num_tokens / dt
+                elif num_tokens < 0:
+                    decode_tp = -num_tokens / dt
+                pbar.set_postfix({"Prefill": f"{int(prefill_tp)}tok/s",
+                                  "Decode": f"{int(decode_tp)}tok/s"})
+            for seq_id, token_ids, prompt_len, cache_tokens in outputs:
+                done[seq_id] = (token_ids, prompt_len, cache_tokens)
+                if pbar is not None:
+                    pbar.update(1)
+        if pbar is not None:
+            pbar.close()
+        results = []
+        for seq_id in seq_order:
+            token_ids, prompt_len, cache_tokens = done[seq_id]
+            text = self.tokenizer.decode(token_ids) if self.tokenizer else None
+            results.append({"text": text, "token_ids": token_ids,
+                            "prompt_len": prompt_len, "cache_tokens": cache_tokens})
+        return results

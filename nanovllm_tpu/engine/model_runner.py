@@ -1,0 +1,213 @@
+"""Per-host model executor: owns params + paged KV cache on device and runs
+the whole engine step (embed -> layers -> sample) as ONE jitted function with
+donated cache buffers.
+
+Parity target: reference nanovllm/engine/model_runner.py — but where the
+reference splits eager vs torchair-graph decode paths and spawns SHM-RPC
+worker processes (model_runner.py:91-193, 376-396), here a single `jax.jit`
+per batch shape covers everything: XLA replaces torchair, donation replaces
+in-place cache mutation, the persistent compilation cache replaces
+`.torchair_cache` (model_runner.py:129-154), and tensor parallelism is a
+sharding annotation, not a process topology.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.batch import HostBatch, prepare_batch
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.models.registry import get_adapter
+from nanovllm_tpu.ops import attention as attn_ops
+from nanovllm_tpu.ops.sampler import sample_tokens
+
+logger = logging.getLogger(__name__)
+
+_DTYPES = {"auto": jnp.bfloat16, "bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+class ModelRunner:
+
+    def __init__(self, config: Config, mesh=None):
+        self.config = config
+        if config.use_graph_cache and not config.enforce_eager:
+            try:
+                jax.config.update("jax_compilation_cache_dir", config.compile_cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:  # cache knobs are best-effort across jax versions
+                pass
+        self.mesh = mesh
+        self.adapter = get_adapter(config)
+        self.dtype = _DTYPES[config.dtype]
+        self.kv_dtype = (self.dtype if config.kv_cache_dtype == "auto"
+                         else _DTYPES.get(config.kv_cache_dtype, jnp.int8))
+
+        t0 = time.perf_counter()
+        self.params = self.adapter.load_params(
+            config.model_path, self.dtype, jax.random.key(config.seed))
+        self.params = jax.block_until_ready(self.params)
+        logger.info("weights ready in %.1fs", time.perf_counter() - t0)
+
+        self.num_kvcache_blocks = self._size_kv_cache()
+        shape = (self.adapter.num_layers, self.num_kvcache_blocks,
+                 self.adapter.num_kv_heads, config.kvcache_block_size,
+                 self.adapter.head_dim)
+        self.k_cache = jnp.zeros(shape, self.kv_dtype)
+        self.v_cache = jnp.zeros(shape, self.kv_dtype)
+        logger.info("KV cache: %d blocks x %d tokens (%.2f GiB)",
+                    self.num_kvcache_blocks, config.kvcache_block_size,
+                    2 * np.prod(shape) * self.k_cache.dtype.itemsize / 2**30)
+
+        self.dummy_slot = (self.num_kvcache_blocks - 1) * config.kvcache_block_size
+        self._prefill_attn, self._decode_attn = self._select_backends()
+        self._jit_step = jax.jit(
+            self._step, static_argnames=("is_prefill",), donate_argnums=(1, 2))
+        self._step_counter = 0
+
+    # -- setup ------------------------------------------------------------
+    def _size_kv_cache(self) -> int:
+        cfg = self.config
+        block_bytes = (self.adapter.num_layers * 2 * self.adapter.num_kv_heads
+                       * cfg.kvcache_block_size * self.adapter.head_dim
+                       * jnp.dtype(self.kv_dtype).itemsize)
+        if cfg.num_kvcache_blocks > 0:
+            return cfg.num_kvcache_blocks
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            free = stats["bytes_limit"] * cfg.gpu_memory_utilization - stats["bytes_in_use"]
+        except Exception:
+            free = 0
+        if free <= 0:
+            n = 1024  # CPU / unknown backend: small fixed pool
+        else:
+            n = int(free // block_bytes)
+        n = max(n, self.config.blocks_per_seq + 1)
+        return n
+
+    def _select_backends(self):
+        backend = self.config.attention_backend
+        if backend == "auto":
+            platform = jax.local_devices()[0].platform
+            backend = "pallas" if platform == "tpu" else "jnp"
+        if backend == "pallas":
+            try:
+                from nanovllm_tpu.ops.pallas import backends as pallas_backends
+
+                return pallas_backends.get_attention_fns(self.config)
+            except ImportError:
+                logger.warning("pallas backend unavailable; using jnp")
+                backend = "jnp"
+        if backend == "jnp":
+            chunk = self.config.prefill_chunk
+
+            def prefill(q, k, v, meta, scale):
+                return attn_ops.ragged_prefill_attention_jnp(q, k, v, meta, scale, chunk)
+
+            def decode(q, k, v, meta, scale):
+                return attn_ops.paged_decode_attention_jnp(
+                    q, k, v, meta.block_tables, meta.context_lens, scale)
+
+            return prefill, decode
+        if backend == "reference":
+            return (attn_ops.ragged_attention_reference,
+                    attn_ops.ragged_attention_reference)
+        raise ValueError(f"unknown attention backend {backend!r}")
+
+    # -- the jitted step ---------------------------------------------------
+    def _step(self, params, k_cache, v_cache, dev, step_idx, *, is_prefill):
+        meta = attn_ops.AttnMeta(
+            seg_ids=dev["seg_ids"], positions=dev["positions"],
+            slot_mapping=dev["slot_mapping"], block_tables=dev["block_tables"],
+            context_lens=dev["context_lens"], last_token_idx=dev["last_token_idx"],
+            chunk_seg=dev["chunk_seg"], num_seqs=dev["num_seqs"])
+        attn_fn = self._prefill_attn if is_prefill else self._decode_attn
+        hidden, k_cache, v_cache = self.adapter.forward(
+            params, dev["input_ids"], meta, k_cache, v_cache, attn_fn)
+        logits = self.adapter.compute_logits(params, hidden)
+        key = jax.random.fold_in(jax.random.key(self.config.seed), step_idx)
+        tokens = sample_tokens(logits, dev["temperatures"], key)
+        return k_cache, v_cache, tokens
+
+    # -- public API --------------------------------------------------------
+    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+        batch = self.prepare(seqs, is_prefill)
+        return self.run_batch(batch)
+
+    def prepare(self, seqs: list[Sequence], is_prefill: bool) -> HostBatch:
+        cfg = self.config
+        return prepare_batch(
+            seqs, is_prefill,
+            block_size=cfg.kvcache_block_size,
+            dummy_slot=self.dummy_slot,
+            max_num_seqs=cfg.max_num_seqs,
+            blocks_per_seq=cfg.blocks_per_seq,
+            token_buckets=cfg.prefill_token_buckets,
+            chunk=cfg.prefill_chunk,
+        )
+
+    def run_batch(self, batch: HostBatch) -> list[int]:
+        dev = {
+            "input_ids": jnp.asarray(batch.input_ids),
+            "seg_ids": jnp.asarray(batch.seg_ids),
+            "positions": jnp.asarray(batch.positions),
+            "slot_mapping": jnp.asarray(batch.slot_mapping),
+            "block_tables": jnp.asarray(batch.block_tables),
+            "context_lens": jnp.asarray(batch.context_lens),
+            "last_token_idx": jnp.asarray(batch.last_token_idx),
+            "chunk_seg": jnp.asarray(batch.chunk_seg),
+            "temperatures": jnp.asarray(batch.temperatures),
+            "num_seqs": jnp.asarray(batch.num_seqs, dtype=jnp.int32),
+        }
+        self._step_counter += 1
+        self.k_cache, self.v_cache, tokens = self._jit_step(
+            self.params, self.k_cache, self.v_cache, dev,
+            jnp.asarray(self._step_counter, dtype=jnp.uint32),
+            is_prefill=batch.is_prefill)
+        return np.asarray(tokens)[: batch.num_seqs].tolist()
+
+    # -- warmup ------------------------------------------------------------
+    def warmup(self):
+        """Compile every batch shape up front (prefill buckets + decode) so
+        serving never hits a compile stall — the role of the reference's
+        warmup_model + torchair cache check (llm_engine.py:53-87)."""
+        cfg = self.config
+        t0 = time.perf_counter()
+        for bucket in cfg.prefill_token_buckets:
+            fake = _fake_batch(cfg, self.dummy_slot, bucket, is_prefill=True)
+            self.run_batch(fake)
+        fake = _fake_batch(cfg, self.dummy_slot, cfg.max_num_seqs, is_prefill=False)
+        self.run_batch(fake)
+        # Reset cache contents touched by warmup.
+        self.k_cache = jnp.zeros_like(self.k_cache)
+        self.v_cache = jnp.zeros_like(self.v_cache)
+        logger.info("warmup compiled %d shapes in %.1fs",
+                    len(cfg.prefill_token_buckets) + 1, time.perf_counter() - t0)
+
+
+def _fake_batch(cfg: Config, dummy_slot: int, T: int, is_prefill: bool) -> HostBatch:
+    S = cfg.max_num_seqs
+    if not is_prefill:
+        T = S
+    nchunks = max(T // cfg.prefill_chunk, 1)
+    return HostBatch(
+        input_ids=np.zeros(T, np.int32),
+        seg_ids=np.zeros(T, np.int32),
+        positions=np.zeros(T, np.int32) if is_prefill else np.zeros(T, np.int32),
+        slot_mapping=np.full(T, dummy_slot, np.int32),
+        block_tables=np.zeros((S, cfg.blocks_per_seq), np.int32),
+        context_lens=np.ones(S, np.int32),
+        last_token_idx=np.zeros(S, np.int32),
+        chunk_seg=np.zeros(nchunks, np.int32),
+        temperatures=np.ones(S, np.float32),
+        num_seqs=1,
+        num_tokens=1,
+        is_prefill=is_prefill,
+    )

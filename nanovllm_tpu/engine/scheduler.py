@@ -34,6 +34,7 @@ class Scheduler:
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.max_model_len = config.max_model_len
         self.eos = config.eos
+        self.prefill_chunk = getattr(config, "prefill_chunk", 128)
         # One physical block is reserved as the scratch page that padded
         # decode lanes write into (reference scheduler.py:26-30) — the
         # allocator never hands it out.
@@ -79,9 +80,14 @@ class Scheduler:
                 # Preempted sequence re-entering: pages were freed, table must
                 # be rebuilt from scratch.
                 raise AssertionError("waiting sequence with live block table")
-            # Admission is budgeted optimistically on the full suffix; the
-            # cache hit discovered by allocate() only shrinks it.
-            if tokens + len(seq) > self.max_num_batched_tokens and batch:
+            # Admission is budgeted on the chunk-aligned device cost
+            # (engine/batch.py lays each suffix out CQ-aligned). The check
+            # uses the full-length upper bound; allocate() can only shrink
+            # the real cost via prefix-cache hits.
+            def aligned(n):
+                return -(-n // self.prefill_chunk) * self.prefill_chunk
+
+            if tokens + aligned(len(seq)) > self.max_num_batched_tokens and batch:
                 break
             self.waiting.popleft()
             self.block_manager.allocate(seq)
@@ -89,7 +95,7 @@ class Scheduler:
             seq.finish_reason = None
             self.running.append(seq)
             batch.append(seq)
-            tokens += len(seq) - seq.num_cached_tokens
+            tokens += aligned(len(seq) - seq.num_cached_tokens)
         if batch:
             return batch, True
 

@@ -38,6 +38,12 @@ NEG_INF = -1e30
 class AttnMeta(NamedTuple):
     """Per-step batch metadata. T = padded token count, S = padded seq slots.
 
+    Prefill layouts are *chunk-aligned*: every sequence's query suffix starts
+    at a multiple of the query-chunk size CQ, so T // CQ fixed-size chunks
+    each belong to exactly one sequence (`chunk_seg`). This is both what the
+    memory-safe jnp flash path scans over and the natural grid of the Pallas
+    ragged-prefill kernel.
+
     Padding convention: unused token lanes have seg_id pointing at a slot with
     context_len == 0 and slot_mapping pointing at the reserved scratch page.
     """
@@ -48,6 +54,7 @@ class AttnMeta(NamedTuple):
     block_tables: jax.Array  # (S, maxB) int32: physical page ids, 0-padded
     context_lens: jax.Array  # (S,) int32: kv length per slot incl. new tokens
     last_token_idx: jax.Array  # (S,) int32: index into T of each slot's last query
+    chunk_seg: jax.Array     # (T // CQ,) int32: query chunk -> batch slot
     num_seqs: jax.Array      # () int32: live slots (for host-side truncation)
 
 
@@ -148,3 +155,53 @@ def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
     (m, l, acc), _ = jax.lax.scan(body, init, jnp.arange(maxB, dtype=jnp.int32))
     out = acc / jnp.maximum(l, 1e-20)[..., None]
     return out.reshape(S, QH, hd).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# jnp chunked ragged prefill (memory-safe: one page column in flight)
+# ---------------------------------------------------------------------------
+
+def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
+                                 scale: float, chunk: int = 128):
+    """Flash-style varlen prefill over the chunk-aligned layout.
+
+    q: (T, QH, hd) with T a multiple of `chunk`; every chunk's tokens belong
+    to one sequence (meta.chunk_seg). Streams page columns with online
+    softmax, so peak transient memory is O(T * block_size) scores.
+    """
+    T, QH, hd = q.shape
+    KVH, bs = k_cache.shape[1], k_cache.shape[2]
+    G = QH // KVH
+    C = T // chunk
+    maxB = meta.block_tables.shape[1]
+
+    qc = q.reshape(C, chunk, KVH, G, hd).astype(jnp.float32)
+    pages_c = meta.block_tables[meta.chunk_seg]      # (C, maxB)
+    ctx_c = meta.context_lens[meta.chunk_seg]        # (C,)
+    pos_c = meta.positions.reshape(C, chunk)         # (C, chunk)
+
+    def body(carry, j):
+        m, l, acc = carry
+        k = k_cache[pages_c[:, j]].astype(jnp.float32)   # (C, KVH, bs, hd)
+        v = v_cache[pages_c[:, j]].astype(jnp.float32)
+        s = jnp.einsum("cqkgh,ckbh->ckgqb", qc, k) * scale  # (C, KVH, G, chunk, bs)
+        kv_pos = j * bs + jnp.arange(bs, dtype=jnp.int32)
+        live = (kv_pos[None, None, :] < ctx_c[:, None, None]) & \
+               (kv_pos[None, None, :] <= pos_c[:, :, None])     # (C, chunk, bs)
+        lv = live[:, None, None, :, :]
+        s = jnp.where(lv, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        p = jnp.where(lv, p, 0.0)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum("ckgqb,ckbh->ckgqh", p, v)
+        return (m_new, l, acc), None
+
+    init = (jnp.full((C, KVH, G, chunk), NEG_INF, jnp.float32),
+            jnp.zeros((C, KVH, G, chunk), jnp.float32),
+            jnp.zeros((C, KVH, G, chunk, hd), jnp.float32))
+    (m, l, acc), _ = jax.lax.scan(body, init, jnp.arange(maxB, dtype=jnp.int32))
+    out = acc / jnp.maximum(l, 1e-20)[..., None]     # (C, KVH, G, chunk, hd)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(T, QH, hd)
+    return out.astype(q.dtype)

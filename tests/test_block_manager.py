@@ -24,7 +24,7 @@ def test_allocate_deallocate_bookkeeping():
     bm.deallocate(seq)
     assert bm.num_free_blocks == 8
     assert seq.block_table == []
-    assert seq.num_cached_tokens == 0
+
 
 
 def test_prefix_cache_hit_shares_blocks():

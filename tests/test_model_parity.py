@@ -47,6 +47,7 @@ def run_engine_logits(spec, params, prompts, n_decode=3, hf_next_tokens=None):
             block_tables=jnp.asarray(batch.block_tables),
             context_lens=jnp.asarray(batch.context_lens),
             last_token_idx=jnp.asarray(batch.last_token_idx),
+            chunk_seg=jnp.asarray(batch.chunk_seg),
             num_seqs=jnp.asarray(batch.num_seqs),
         )
         hidden, k_cache, v_cache = dense.forward(
@@ -56,7 +57,7 @@ def run_engine_logits(spec, params, prompts, n_decode=3, hf_next_tokens=None):
 
     out = []
     batch = prepare_batch(seqs, True, block_size=BLOCK, dummy_slot=(NBLOCKS - 1) * BLOCK,
-                          max_num_seqs=S, blocks_per_seq=MAXB, token_buckets=BUCKETS)
+                          max_num_seqs=S, blocks_per_seq=MAXB, token_buckets=BUCKETS, chunk=16)
     logits, k_cache, v_cache = step(batch, k_cache, v_cache)
     out.append(logits[: len(seqs)])
 
@@ -65,7 +66,7 @@ def run_engine_logits(spec, params, prompts, n_decode=3, hf_next_tokens=None):
             s.append_token(int(hf_next_tokens[d][i]))
             bm.append_slot(s)
         batch = prepare_batch(seqs, False, block_size=BLOCK, dummy_slot=(NBLOCKS - 1) * BLOCK,
-                              max_num_seqs=S, blocks_per_seq=MAXB, token_buckets=BUCKETS)
+                              max_num_seqs=S, blocks_per_seq=MAXB, token_buckets=BUCKETS, chunk=16)
         logits, k_cache, v_cache = step(batch, k_cache, v_cache)
         out.append(logits[: len(seqs)])
     return out
@@ -174,11 +175,12 @@ def test_prefix_cache_reuse_matches_fresh_compute():
     def run_prefill(seq, k_cache, v_cache):
         batch = prepare_batch([seq], True, block_size=BLOCK,
                               dummy_slot=(NBLOCKS - 1) * BLOCK, max_num_seqs=S,
-                              blocks_per_seq=MAXB, token_buckets=BUCKETS)
+                              blocks_per_seq=MAXB, token_buckets=BUCKETS, chunk=16)
         meta = AttnMeta(*[jnp.asarray(x) for x in
                           (batch.seg_ids, batch.positions, batch.slot_mapping,
                            batch.block_tables, batch.context_lens,
-                           batch.last_token_idx, batch.num_seqs)])
+                           batch.last_token_idx, batch.chunk_seg,
+                           batch.num_seqs)])
         hidden, k_cache, v_cache = dense.forward(
             spec, params, jnp.asarray(batch.input_ids), meta, k_cache, v_cache)
         return np.asarray(dense.compute_logits(spec, params, hidden)), k_cache, v_cache

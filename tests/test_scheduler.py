@@ -19,6 +19,7 @@ def make_config(**kw):
         max_num_batched_tokens=64,
         max_model_len=64,
         kvcache_block_size=16,
+        prefill_chunk=1,  # no alignment: keeps budget arithmetic exact here
     )
     defaults.update(kw)
     return Config(**defaults)
