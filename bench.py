@@ -66,10 +66,12 @@ def main():
         attention_backend=args.attention_backend,
     )
 
-    prompts = [[randint(0, 10000) for _ in range(randint(100, args.max_input_len))]
+    in_lo = min(100, max(args.max_input_len // 2, 1))
+    out_lo = min(100, max(args.max_output_len // 2, 1))
+    prompts = [[randint(0, 10000) for _ in range(randint(in_lo, args.max_input_len))]
                for _ in range(args.num_seqs)]
     sps = [SamplingParams(temperature=0.6, ignore_eos=True,
-                          max_tokens=randint(100, args.max_output_len))
+                          max_tokens=randint(out_lo, args.max_output_len))
            for _ in range(args.num_seqs)]
 
     # tiny warm run (jit shapes already compiled by engine warmup)

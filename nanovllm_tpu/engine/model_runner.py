@@ -31,7 +31,18 @@ from nanovllm_tpu.ops.sampler import sample_tokens
 
 logger = logging.getLogger(__name__)
 
-_DTYPES = {"auto": jnp.bfloat16, "bfloat16": jnp.bfloat16, "float32": jnp.float32}
+_DTYPES = {"auto": jnp.bfloat16, "bfloat16": jnp.bfloat16, "float32": jnp.float32,
+           "int8": jnp.int8}
+
+_HBM_BYTES = {
+    "TPU v4": 32 * 2**30,
+    "TPU v5 lite": 16 * 2**30,
+    "TPU v5e": 16 * 2**30,
+    "TPU v5": 95 * 2**30,
+    "TPU v5p": 95 * 2**30,
+    "TPU v6 lite": 32 * 2**30,
+    "TPU v6e": 32 * 2**30,
+}
 
 
 class ModelRunner:
@@ -58,7 +69,7 @@ class ModelRunner:
 
         self.num_kvcache_blocks = self._size_kv_cache()
         shape = (self.adapter.num_layers, self.num_kvcache_blocks,
-                 self.adapter.num_kv_heads, config.kvcache_block_size,
+                 config.kvcache_block_size, self.adapter.num_kv_heads,
                  self.adapter.head_dim)
         self.k_cache = jnp.zeros(shape, self.kv_dtype)
         self.v_cache = jnp.zeros(shape, self.kv_dtype)
@@ -80,13 +91,23 @@ class ModelRunner:
                        * jnp.dtype(self.kv_dtype).itemsize)
         if cfg.num_kvcache_blocks > 0:
             return cfg.num_kvcache_blocks
+        dev = jax.local_devices()[0]
+        free = 0
         try:
-            stats = jax.local_devices()[0].memory_stats()
-            free = stats["bytes_limit"] * cfg.gpu_memory_utilization - stats["bytes_in_use"]
+            stats = dev.memory_stats() or {}
+            if stats.get("bytes_limit"):
+                free = stats["bytes_limit"] * cfg.gpu_memory_utilization \
+                    - stats["bytes_in_use"]
         except Exception:
-            free = 0
+            pass
+        if free <= 0 and dev.platform == "tpu":
+            # memory_stats() is unavailable on some TPU runtimes: fall back to
+            # the known HBM size per device kind minus what we already placed.
+            hbm = _HBM_BYTES.get(dev.device_kind, 16 * 2**30)
+            params_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))
+            free = hbm * cfg.gpu_memory_utilization - params_bytes
         if free <= 0:
-            n = 1024  # CPU / unknown backend: small fixed pool
+            n = 512  # CPU / unknown backend: small fixed pool
         else:
             n = int(free // block_bytes)
         n = max(n, self.config.blocks_per_seq + 1)
@@ -108,12 +129,14 @@ class ModelRunner:
         if backend == "jnp":
             chunk = self.config.prefill_chunk
 
-            def prefill(q, k, v, meta, scale):
-                return attn_ops.ragged_prefill_attention_jnp(q, k, v, meta, scale, chunk)
+            def prefill(q, k, v, meta, scale, layer=None):
+                return attn_ops.ragged_prefill_attention_jnp(
+                    q, k, v, meta, scale, chunk, layer=layer)
 
-            def decode(q, k, v, meta, scale):
+            def decode(q, k, v, meta, scale, layer=None):
                 return attn_ops.paged_decode_attention_jnp(
-                    q, k, v, meta.block_tables, meta.context_lens, scale)
+                    q, k, v, meta.block_tables, meta.context_lens, scale,
+                    layer=layer)
 
             return prefill, decode
         if backend == "reference":
@@ -185,9 +208,8 @@ class ModelRunner:
             self.run_batch(fake)
         fake = _fake_batch(cfg, self.dummy_slot, cfg.max_num_seqs, is_prefill=False)
         self.run_batch(fake)
-        # Reset cache contents touched by warmup.
-        self.k_cache = jnp.zeros_like(self.k_cache)
-        self.v_cache = jnp.zeros_like(self.v_cache)
+        # No cache reset needed: pages are always written by a sequence's own
+        # prefill before its context_lens exposes them to reads.
         logger.info("warmup compiled %d shapes in %.1fs",
                     len(cfg.prefill_token_buckets) + 1, time.perf_counter() - t0)
 

@@ -78,10 +78,11 @@ def _split_qkv(qkv, spec: DenseSpec):
 
 
 def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
-                  k_cache_l, v_cache_l, meta: attn_ops.AttnMeta,
+                  k_cache, v_cache, layer_idx, meta: attn_ops.AttnMeta,
                   attn_fn):
-    """One decoder layer. h/residual: (T, D). Returns (h, residual, k, v)
-    where k/v are this layer's freshly written cache pages."""
+    """One decoder layer. h/residual: (T, D). k_cache/v_cache are the FULL
+    stacked caches (L, NB, KVH, bs, hd); all reads/writes go through fused
+    layer-indexed gathers/scatters so no per-layer slice is materialized."""
     T = h.shape[0]
     normed, residual = add_rms_norm(h, residual, lp["ln1"], spec.rms_norm_eps)
 
@@ -98,9 +99,9 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     q = apply_rope(q, cos, sin, meta.positions)
     k = apply_rope(k, cos, sin, meta.positions)
 
-    k_cache_l, v_cache_l = attn_ops.write_kv(k_cache_l, v_cache_l, k, v,
-                                             meta.slot_mapping)
-    o = attn_fn(q, k_cache_l, v_cache_l, meta, spec.head_dim ** -0.5)
+    k_cache, v_cache = attn_ops.write_kv(k_cache, v_cache, k, v,
+                                         meta.slot_mapping, layer=layer_idx)
+    o = attn_fn(q, k_cache, v_cache, meta, spec.head_dim ** -0.5, layer_idx)
     o = o.reshape(T, spec.q_size) @ lp["wo"]
     if spec.o_bias:
         o = o + lp["bo"]
@@ -114,7 +115,7 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     if spec.mlp_bias:
         mlp_out = mlp_out + lp["bdown"]
     mlp_out = mlp_out * spec.residual_scale
-    return mlp_out, residual, k_cache_l, v_cache_l
+    return mlp_out, residual, k_cache, v_cache
 
 
 def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
@@ -131,12 +132,8 @@ def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
     def body(carry, xs):
         h, residual, k_cache, v_cache = carry
         lp, idx = xs
-        k_l = k_cache[idx]
-        v_l = v_cache[idx]
-        h, residual, k_l, v_l = decoder_layer(
-            spec, lp, h, residual, cos, sin, k_l, v_l, meta, attn_fn)
-        k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k_l, idx, 0)
-        v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v_l, idx, 0)
+        h, residual, k_cache, v_cache = decoder_layer(
+            spec, lp, h, residual, cos, sin, k_cache, v_cache, idx, meta, attn_fn)
         return (h, residual, k_cache, v_cache), None
 
     idxs = jnp.arange(spec.num_layers, dtype=jnp.int32)
@@ -161,9 +158,10 @@ def k_cache_dtype_to_compute(k_cache):
     return jnp.bfloat16 if k_cache.dtype == jnp.int8 else k_cache.dtype
 
 
-def default_attn_fn(q, k_cache_l, v_cache_l, meta, scale):
+def default_attn_fn(q, k_cache, v_cache, meta, scale, layer=None):
     """Exact jnp reference path (CPU tests / small shapes)."""
-    return attn_ops.ragged_attention_reference(q, k_cache_l, v_cache_l, meta, scale)
+    return attn_ops.ragged_attention_reference(q, k_cache, v_cache, meta, scale,
+                                               layer=layer)
 
 
 # ---------------------------------------------------------------------------

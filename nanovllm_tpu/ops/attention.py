@@ -58,41 +58,60 @@ class AttnMeta(NamedTuple):
     num_seqs: jax.Array      # () int32: live slots (for host-side truncation)
 
 
-def write_kv(k_cache, v_cache, k, v, slot_mapping):
+def write_kv(k_cache, v_cache, k, v, slot_mapping, layer=None):
     """Scatter new K/V rows into the paged cache.
 
-    k_cache/v_cache: (num_blocks, KVH, block_size, head_dim) — donated.
+    k_cache/v_cache: (num_blocks, block_size, KVH, head_dim), or with a
+    leading layers axis when `layer` is given (the scan-over-layers path:
+    scattering straight into the stacked cache keeps the whole update
+    in-place under donation — a slice/update-back round-trip materializes
+    full per-layer copies). The (bs, KVH, hd) page-minor order makes each
+    token's (KVH, hd) row contiguous, which is both the layout XLA picks for
+    this scatter (a mismatched layout costs a full cache copy on entry) and
+    a clean DMA granule for the Pallas kernels.
     k/v: (T, KVH, head_dim). slot_mapping: (T,) flat slots.
     """
-    bs = k_cache.shape[2]
+    bs = k_cache.shape[-3]
     blocks = slot_mapping // bs
     offs = slot_mapping % bs
     k = k.astype(k_cache.dtype)
     v = v.astype(v_cache.dtype)
-    # Advanced indexing (T,)block × full KVH × (T,)off — value shape (T, KVH, hd).
-    k_cache = k_cache.at[blocks, :, offs, :].set(k, mode="drop")
-    v_cache = v_cache.at[blocks, :, offs, :].set(v, mode="drop")
+    if layer is None:
+        k_cache = k_cache.at[blocks, offs, :, :].set(k, mode="drop")
+        v_cache = v_cache.at[blocks, offs, :, :].set(v, mode="drop")
+    else:
+        k_cache = k_cache.at[layer, blocks, offs, :, :].set(k, mode="drop")
+        v_cache = v_cache.at[layer, blocks, offs, :, :].set(v, mode="drop")
     return k_cache, v_cache
+
+
+def page_gather(cache, layer, pages):
+    """cache[layer][pages] as ONE fused gather (a separate layer slice would
+    materialize the whole layer)."""
+    if layer is None:
+        return cache[pages]
+    return cache[layer, pages]
 
 
 # ---------------------------------------------------------------------------
 # jnp reference backend (hardware-free; exact, O(T * max_kv) memory)
 # ---------------------------------------------------------------------------
 
-def ragged_attention_reference(q, k_cache, v_cache, meta: AttnMeta, scale: float):
+def ragged_attention_reference(q, k_cache, v_cache, meta: AttnMeta, scale: float,
+                               layer=None):
     """Exact ragged paged attention by full gather. Test/CPU sizes only.
 
     q: (T, QH, hd) -> out (T, QH, hd).
     """
     T, QH, hd = q.shape
-    KVH = k_cache.shape[1]
-    bs = k_cache.shape[2]
+    bs = k_cache.shape[-3]
+    KVH = k_cache.shape[-2]
     S, maxB = meta.block_tables.shape
     G = QH // KVH
 
-    # (S, maxB, KVH, bs, hd) -> (S, KVH, maxB*bs, hd)
-    k_all = k_cache[meta.block_tables].transpose(0, 2, 1, 3, 4).reshape(S, KVH, maxB * bs, hd)
-    v_all = v_cache[meta.block_tables].transpose(0, 2, 1, 3, 4).reshape(S, KVH, maxB * bs, hd)
+    # (S, maxB, bs, KVH, hd) -> (S, KVH, maxB*bs, hd)
+    k_all = page_gather(k_cache, layer, meta.block_tables).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
+    v_all = page_gather(v_cache, layer, meta.block_tables).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
     k_tok = k_all[meta.seg_ids]  # (T, KVH, Lk, hd)
     v_tok = v_all[meta.seg_ids]
 
@@ -120,14 +139,14 @@ def ragged_attention_reference(q, k_cache, v_cache, meta: AttnMeta, scale: float
 # ---------------------------------------------------------------------------
 
 def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
-                               scale: float):
+                               scale: float, layer=None):
     """Flash-style decode: one query per slot, scan over page columns.
 
     q: (S, QH, hd) -> (S, QH, hd). Reads all maxB page columns (the Pallas
     kernel replaces this with per-sequence early exit).
     """
     S, QH, hd = q.shape
-    KVH, bs = k_cache.shape[1], k_cache.shape[2]
+    bs, KVH = k_cache.shape[-3], k_cache.shape[-2]
     G = QH // KVH
     maxB = block_tables.shape[1]
     qg = q.reshape(S, KVH, G, hd).astype(jnp.float32)
@@ -135,9 +154,9 @@ def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
     def body(carry, j):
         m, l, acc = carry
         pages = block_tables[:, j]                       # (S,)
-        k = k_cache[pages].astype(jnp.float32)           # (S, KVH, bs, hd)
-        v = v_cache[pages].astype(jnp.float32)
-        s = jnp.einsum("skgh,skbh->skgb", qg, k) * scale
+        k = page_gather(k_cache, layer, pages).astype(jnp.float32)  # (S, bs, KVH, hd)
+        v = page_gather(v_cache, layer, pages).astype(jnp.float32)
+        s = jnp.einsum("skgh,sbkh->skgb", qg, k) * scale
         pos = j * bs + jnp.arange(bs, dtype=jnp.int32)
         live = pos[None, :] < context_lens[:, None]      # (S, bs)
         s = jnp.where(live[:, None, None, :], s, NEG_INF)
@@ -146,7 +165,7 @@ def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
         p = jnp.where(live[:, None, None, :], p, 0.0)
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum("skgb,skbh->skgh", p, v)
+        acc = acc * corr[..., None] + jnp.einsum("skgb,sbkh->skgh", p, v)
         return (m_new, l, acc), None
 
     init = (jnp.full((S, KVH, G), NEG_INF, jnp.float32),
@@ -162,7 +181,7 @@ def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
 # ---------------------------------------------------------------------------
 
 def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
-                                 scale: float, chunk: int = 128):
+                                 scale: float, chunk: int = 128, layer=None):
     """Flash-style varlen prefill over the chunk-aligned layout.
 
     q: (T, QH, hd) with T a multiple of `chunk`; every chunk's tokens belong
@@ -170,7 +189,7 @@ def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
     softmax, so peak transient memory is O(T * block_size) scores.
     """
     T, QH, hd = q.shape
-    KVH, bs = k_cache.shape[1], k_cache.shape[2]
+    bs, KVH = k_cache.shape[-3], k_cache.shape[-2]
     G = QH // KVH
     C = T // chunk
     maxB = meta.block_tables.shape[1]
@@ -182,9 +201,9 @@ def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
 
     def body(carry, j):
         m, l, acc = carry
-        k = k_cache[pages_c[:, j]].astype(jnp.float32)   # (C, KVH, bs, hd)
-        v = v_cache[pages_c[:, j]].astype(jnp.float32)
-        s = jnp.einsum("cqkgh,ckbh->ckgqb", qc, k) * scale  # (C, KVH, G, chunk, bs)
+        k = page_gather(k_cache, layer, pages_c[:, j]).astype(jnp.float32)  # (C, bs, KVH, hd)
+        v = page_gather(v_cache, layer, pages_c[:, j]).astype(jnp.float32)
+        s = jnp.einsum("cqkgh,cbkh->ckgqb", qc, k) * scale  # (C, KVH, G, chunk, bs)
         kv_pos = j * bs + jnp.arange(bs, dtype=jnp.int32)
         live = (kv_pos[None, None, :] < ctx_c[:, None, None]) & \
                (kv_pos[None, None, :] <= pos_c[:, :, None])     # (C, chunk, bs)
@@ -195,7 +214,7 @@ def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
         p = jnp.where(lv, p, 0.0)
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum("ckgqb,ckbh->ckgqh", p, v)
+        acc = acc * corr[..., None] + jnp.einsum("ckgqb,cbkh->ckgqh", p, v)
         return (m_new, l, acc), None
 
     init = (jnp.full((C, KVH, G, chunk), NEG_INF, jnp.float32),
