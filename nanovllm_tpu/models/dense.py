@@ -56,6 +56,11 @@ class DenseSpec:
     logit_scale: float = 1.0       # 1 / (hidden_size / dim_model_base)
     # rope scaling, flattened to a hashable tag; tables are built host-side
     rope_variant: str = "default"
+    # When set (inside shard_map), row-parallel matmul outputs are psum-ed
+    # over this mesh axis — the reference's per-layer HCCL all_reduce
+    # (linear.py:152). The spec then describes the LOCAL shard (heads and
+    # intermediate divided by tp; see parallel/tp.py local_spec).
+    tp_axis: Optional[str] = None
 
     @property
     def q_size(self) -> int:
@@ -103,6 +108,8 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
                                          meta.slot_mapping, layer=layer_idx)
     o = attn_fn(q, k_cache, v_cache, meta, spec.head_dim ** -0.5, layer_idx)
     o = o.reshape(T, spec.q_size) @ lp["wo"]
+    if spec.tp_axis:
+        o = jax.lax.psum(o, spec.tp_axis)
     if spec.o_bias:
         o = o + lp["bo"]
     o = o * spec.residual_scale
@@ -112,6 +119,8 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     if spec.mlp_bias:
         gu = gu + lp["bgu"]
     mlp_out = silu_and_mul(gu) @ lp["wdown"]
+    if spec.tp_axis:
+        mlp_out = jax.lax.psum(mlp_out, spec.tp_axis)
     if spec.mlp_bias:
         mlp_out = mlp_out + lp["bdown"]
     mlp_out = mlp_out * spec.residual_scale
@@ -148,8 +157,13 @@ def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
 
 
 def compute_logits(spec: DenseSpec, params, hidden):
-    """hidden: (S, D) -> logits (S, V) float32."""
+    """hidden: (S, D) -> logits (S, V) float32. Under tensor parallelism the
+    lm_head is vocab-sharded; local logits are all-gathered so every shard
+    samples the identical token (the reference gathers to rank 0 instead,
+    embed_head.py:61-66 — full replication keeps the step SPMD)."""
     logits = hidden @ params["lm_head"]
+    if spec.tp_axis:
+        logits = jax.lax.all_gather(logits, spec.tp_axis, axis=1, tiled=True)
     return logits.astype(jnp.float32) * spec.logit_scale
 
 

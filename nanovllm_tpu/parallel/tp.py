@@ -1,0 +1,121 @@
+"""Tensor parallelism over a jax device mesh.
+
+Replaces the reference's per-class Megatron sharding + HCCL process groups
+(reference nanovllm/layers/linear.py:54-153, embed_head.py:9-66,
+model_runner.py:39-46) with mesh-axis sharding: weights carry NamedShardings,
+the step runs under shard_map, and the two per-layer all-reduces (attention
+output + MLP down, reference call stack SURVEY §3.3) become `lax.psum` over
+the 'tp' axis, scheduled by XLA onto ICI.
+
+Fused weights (qkv, gate|up) are stored in *shard-major* column order — the
+columns of shard s are [q_s | k_s | v_s] — so a plain PartitionSpec on the
+last axis gives every shard exactly its own heads. The reorder happens once
+at load time on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nanovllm_tpu.models.dense import DenseSpec
+
+TP_AXIS = "tp"
+DP_AXIS = "dp"
+
+
+def make_mesh(tp: int, dp: int = 1) -> Mesh:
+    devs = np.asarray(jax.devices()[: tp * dp]).reshape(dp, tp)
+    return Mesh(devs, (DP_AXIS, TP_AXIS))
+
+
+def local_spec(spec: DenseSpec, tp: int) -> DenseSpec:
+    """The per-shard view of the architecture."""
+    if tp == 1:
+        return spec
+    assert spec.num_kv_heads % tp == 0, \
+        f"tp={tp} must divide num_kv_heads={spec.num_kv_heads}"
+    assert spec.num_q_heads % tp == 0
+    assert spec.intermediate_size % tp == 0
+    return replace(
+        spec,
+        num_q_heads=spec.num_q_heads // tp,
+        num_kv_heads=spec.num_kv_heads // tp,
+        intermediate_size=spec.intermediate_size // tp,
+        tp_axis=TP_AXIS,
+    )
+
+
+def param_pspecs(spec: DenseSpec) -> dict:
+    """PartitionSpecs for the dense params pytree (shard-major fused layout)."""
+    layers = {
+        "ln1": P(), "ln2": P(),
+        "wqkv": P(None, None, TP_AXIS),
+        "wo": P(None, TP_AXIS, None),
+        "wgu": P(None, None, TP_AXIS),
+        "wdown": P(None, TP_AXIS, None),
+    }
+    if spec.qkv_bias:
+        layers["bqkv"] = P(None, TP_AXIS)
+    if spec.qk_norm:
+        layers["q_norm"] = P()
+        layers["k_norm"] = P()
+    return {
+        "embed": P(),
+        "layers": layers,
+        "final_ln": P(),
+        "lm_head": P(None, TP_AXIS),
+        "rope_cos": P(),
+        "rope_sin": P(),
+    }
+
+
+def kv_cache_pspec() -> P:
+    # (L, NB, bs, KVH, hd): shard the kv-head axis
+    return P(None, None, None, TP_AXIS, None)
+
+
+def _shard_major(arr, seg_sizes, tp: int, axis: int = -1):
+    """Reorder concatenated segments [A|B|...] so columns become
+    [A_0|B_0|...|A_1|B_1|...] (shard-major)."""
+    parts = []
+    start = 0
+    for size in seg_sizes:
+        seg = np.take(arr, np.arange(start, start + size), axis=axis)
+        # split the segment into tp pieces along `axis`
+        parts.append(np.split(seg, tp, axis=axis))
+        start += size
+    blocks = []
+    for s in range(tp):
+        for p in parts:
+            blocks.append(p[s])
+    return np.concatenate(blocks, axis=axis)
+
+
+def reorder_params_for_tp(params: dict, spec: DenseSpec, tp: int) -> dict:
+    """Host-side column reorder of the fused weights (numpy or jax arrays)."""
+    if tp == 1:
+        return params
+    out = dict(params)
+    layers = dict(params["layers"])
+    qkv_segs = (spec.q_size, spec.kv_size, spec.kv_size)
+    layers["wqkv"] = _shard_major(np.asarray(layers["wqkv"]), qkv_segs, tp)
+    if "bqkv" in layers:
+        layers["bqkv"] = _shard_major(np.asarray(layers["bqkv"]), qkv_segs, tp)
+    gu_segs = (spec.intermediate_size, spec.intermediate_size)
+    layers["wgu"] = _shard_major(np.asarray(layers["wgu"]), gu_segs, tp)
+    out["layers"] = layers
+    return out
+
+
+def shard_params(params: dict, spec: DenseSpec, mesh: Mesh) -> dict:
+    pspecs = param_pspecs(spec)
+
+    def place(p, ps):
+        return jax.device_put(p, NamedSharding(mesh, ps))
+
+    return jax.tree.map(place, params, pspecs,
+                        is_leaf=lambda x: isinstance(x, P))

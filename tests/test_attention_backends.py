@@ -66,24 +66,15 @@ def build_case(seed, ctx_lens, q_lens):
     return jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache), meta
 
 
-def real_rows(meta):
-    """Token lanes whose output is meaningful (not intra-chunk padding)."""
-    seg = np.asarray(meta.seg_ids)
-    pos = np.asarray(meta.positions)
-    ctx = np.asarray(meta.context_lens)
-    keep = np.zeros(len(seg), bool)
+def real_rows_for(q_lens):
+    """Mask of token lanes whose output is meaningful (not chunk padding),
+    derived from the layout construction itself."""
+    total = sum(-(-ql // CHUNK) * CHUNK for ql in q_lens)
+    keep = np.zeros(total, bool)
     t = 0
-    # padding rows have position 0 but follow a nonzero position in-chunk;
-    # simpler: mark rows where (seg, pos) is unique/ascending per seq
-    seen = {}
-    for t, (s, p) in enumerate(zip(seg, pos)):
-        if ctx[s] == 0:
-            continue
-        if (s, p) not in seen:
-            seen[(s, p)] = t
-            keep[t] = True
-        elif p != 0:
-            keep[t] = True
+    for ql in q_lens:
+        keep[t: t + ql] = True
+        t += -(-ql // CHUNK) * CHUNK
     return keep
 
 
@@ -95,7 +86,7 @@ def test_chunked_prefill_matches_reference(ctx_lens, q_lens):
     q, k_cache, v_cache, meta = build_case(0, ctx_lens, q_lens)
     ref = ragged_attention_reference(q, k_cache, v_cache, meta, HD ** -0.5)
     out = ragged_prefill_attention_jnp(q, k_cache, v_cache, meta, HD ** -0.5, CHUNK)
-    keep = real_rows(meta)
+    keep = real_rows_for(q_lens)
     np.testing.assert_allclose(np.asarray(out)[keep], np.asarray(ref)[keep],
                                rtol=1e-5, atol=1e-5)
 
@@ -128,6 +119,73 @@ def test_blockwise_decode_matches_reference():
     out = paged_decode_attention_jnp(q, k_cache, v_cache, meta.block_tables,
                                      meta.context_lens, HD ** -0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def _layered(cache):
+    """Wrap a per-layer cache as a 2-layer stack with data in layer 1."""
+    return jnp.stack([jnp.zeros_like(cache), cache])
+
+
+def test_pallas_decode_kernel_matches_reference():
+    from nanovllm_tpu.ops.pallas.decode_attention import paged_decode_attention
+
+    ctx_lens = (24, 1, 95, 0)  # includes an empty padded slot
+    rng = np.random.default_rng(11)
+    nblocks = S * MAXB + 1
+    k_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH, HD), dtype=np.float32))
+    v_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH, HD), dtype=np.float32))
+    block_tables = np.zeros((S, MAXB), np.int32)
+    nxt = 1
+    for i, ctx in enumerate(ctx_lens):
+        for j in range(-(-ctx // BS)):
+            block_tables[i, j] = nxt
+            nxt += 1
+    q = jnp.asarray(rng.standard_normal((S, QH, HD), dtype=np.float32))
+    meta = AttnMeta(
+        seg_ids=jnp.arange(S, dtype=jnp.int32),
+        positions=jnp.asarray([max(c - 1, 0) for c in ctx_lens], dtype=jnp.int32),
+        slot_mapping=jnp.zeros(S, jnp.int32),
+        block_tables=jnp.asarray(block_tables),
+        context_lens=jnp.asarray(ctx_lens, dtype=jnp.int32),
+        last_token_idx=jnp.arange(S, dtype=jnp.int32),
+        chunk_seg=jnp.zeros(1, jnp.int32),
+        num_seqs=jnp.asarray(S))
+    ref = ragged_attention_reference(q, _layered(k_cache), _layered(v_cache),
+                                     meta, HD ** -0.5, layer=1)
+    out = paged_decode_attention(q, _layered(k_cache), _layered(v_cache),
+                                 meta.block_tables, meta.context_lens,
+                                 1, scale=HD ** -0.5, interpret=True)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:3], np.asarray(ref)[:3], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(out[3], 0.0)  # empty slot -> zeros
+
+
+def test_pallas_prefill_kernel_matches_reference():
+    from nanovllm_tpu.ops.pallas.prefill_attention import ragged_prefill_attention
+
+    ctx_lens = (37, 50, 12, 80)
+    q_lens = (5, 17, 12, 33)
+    q, k_cache, v_cache, meta = build_case(13, ctx_lens, q_lens)
+    # Kernel contract: positions consecutive across each aligned span
+    # (prepare_batch zeroes pad-lane positions; the kernel derives them from
+    # chunk_pos + row index instead, so rebuild them here).
+    pos = np.asarray(meta.positions).copy()
+    t = 0
+    for i, (ctx, ql) in enumerate(zip(ctx_lens, q_lens)):
+        a = -(-ql // CHUNK) * CHUNK
+        pos[t: t + a] = np.arange(ctx - ql, ctx - ql + a)
+        t += a
+    C = len(pos) // CHUNK
+    chunk_pos = jnp.asarray(pos.reshape(C, CHUNK)[:, 0])
+    ref = ragged_attention_reference(q, _layered(k_cache), _layered(v_cache),
+                                     meta, HD ** -0.5, layer=1)
+    out = ragged_prefill_attention(
+        q, _layered(k_cache), _layered(v_cache), meta.chunk_seg, chunk_pos,
+        meta.block_tables, meta.context_lens, 1, cq=CHUNK, scale=HD ** -0.5,
+        interpret=True)
+    keep = real_rows_for(q_lens)
+    np.testing.assert_allclose(np.asarray(out)[keep], np.asarray(ref)[keep],
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_write_kv_roundtrip():
