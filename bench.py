@@ -21,16 +21,7 @@ from random import randint, seed
 BASELINE_QWEN3_0_6B = 3904.20  # tok/s, reference README.md:315
 
 
-def qwen3_0_6b_config():
-    from transformers import Qwen3Config
-
-    return Qwen3Config(
-        vocab_size=151936, hidden_size=1024, intermediate_size=3072,
-        num_hidden_layers=28, num_attention_heads=16, num_key_value_heads=8,
-        head_dim=128, max_position_embeddings=40960, rope_theta=1000000.0,
-        rms_norm_eps=1e-6, tie_word_embeddings=True,
-        architectures=["Qwen3ForCausalLM"],
-    )
+from bench_model import qwen3_0_6b_config  # noqa: E402
 
 
 def main():

@@ -69,8 +69,8 @@ class ModelRunner:
 
         self.num_kvcache_blocks = self._size_kv_cache()
         shape = (self.adapter.num_layers, self.num_kvcache_blocks,
-                 config.kvcache_block_size, self.adapter.num_kv_heads,
-                 self.adapter.head_dim)
+                 config.kvcache_block_size,
+                 self.adapter.num_kv_heads * self.adapter.head_dim)
         self.k_cache = jnp.zeros(shape, self.kv_dtype)
         self.v_cache = jnp.zeros(shape, self.kv_dtype)
         logger.info("KV cache: %d blocks x %d tokens (%.2f GiB)",

@@ -17,9 +17,9 @@ Design differences from the reference (TPU-first):
     T == num_slots special case. Queries always read K/V from the paged cache
     (so prefill computes only the uncached suffix — the reference recomputes
     whole prompts, nanovllm/engine/model_runner.py:238-290).
-  * Cache layout is (num_blocks, kv_heads, block_size, head_dim): one
-    (block_size, head_dim) tile per (page, head) is contiguous, which is the
-    DMA granule of the Pallas decode kernel.
+  * Cache layout is (layers, num_blocks, block_size, kv_heads*head_dim):
+    each token slot is one flat contiguous row — the scatter-write layout,
+    the Pallas DMA granule, and reshape-free at the jit boundary.
   * All batch metadata is fixed-shape, padded device arrays — one compiled
     step serves every cache state (the reference needed a separate
     "padding" prep path for graph mode, model_runner.py:292-342).
@@ -61,36 +61,36 @@ class AttnMeta(NamedTuple):
 def write_kv(k_cache, v_cache, k, v, slot_mapping, layer=None):
     """Scatter new K/V rows into the paged cache.
 
-    k_cache/v_cache: (num_blocks, block_size, KVH, head_dim), or with a
-    leading layers axis when `layer` is given (the scan-over-layers path:
-    scattering straight into the stacked cache keeps the whole update
-    in-place under donation — a slice/update-back round-trip materializes
-    full per-layer copies). The (bs, KVH, hd) page-minor order makes each
-    token's (KVH, hd) row contiguous, which is both the layout XLA picks for
-    this scatter (a mismatched layout costs a full cache copy on entry) and
-    a clean DMA granule for the Pallas kernels.
+    Canonical cache shape: (num_blocks, block_size, KVH*head_dim) — one flat
+    feature row per token slot — with a leading layers axis when `layer` is
+    given (the scan-over-layers path: scattering straight into the stacked
+    cache keeps the whole update in-place under donation). The flat row is
+    simultaneously (a) the layout XLA picks for this scatter (a mismatched
+    layout costs a full cache copy on entry), (b) the Pallas kernels' DMA
+    granule, with heads as static column slices, and (c) reshape-free at the
+    jit boundary (an in-jit 5D<->4D cache reshape materialized 4.9 GiB
+    copies).
     k/v: (T, KVH, head_dim). slot_mapping: (T,) flat slots.
     """
-    bs = k_cache.shape[-3]
+    bs = k_cache.shape[-2]
     blocks = slot_mapping // bs
     offs = slot_mapping % bs
-    k = k.astype(k_cache.dtype)
-    v = v.astype(v_cache.dtype)
+    k = k.reshape(k.shape[0], -1).astype(k_cache.dtype)
+    v = v.reshape(v.shape[0], -1).astype(v_cache.dtype)
     if layer is None:
-        k_cache = k_cache.at[blocks, offs, :, :].set(k, mode="drop")
-        v_cache = v_cache.at[blocks, offs, :, :].set(v, mode="drop")
+        k_cache = k_cache.at[blocks, offs, :].set(k, mode="drop")
+        v_cache = v_cache.at[blocks, offs, :].set(v, mode="drop")
     else:
-        k_cache = k_cache.at[layer, blocks, offs, :, :].set(k, mode="drop")
-        v_cache = v_cache.at[layer, blocks, offs, :, :].set(v, mode="drop")
+        k_cache = k_cache.at[layer, blocks, offs, :].set(k, mode="drop")
+        v_cache = v_cache.at[layer, blocks, offs, :].set(v, mode="drop")
     return k_cache, v_cache
 
 
-def page_gather(cache, layer, pages):
+def page_gather(cache, layer, pages, kvh):
     """cache[layer][pages] as ONE fused gather (a separate layer slice would
-    materialize the whole layer)."""
-    if layer is None:
-        return cache[pages]
-    return cache[layer, pages]
+    materialize the whole layer). Returns (..., bs, KVH, hd)."""
+    out = cache[pages] if layer is None else cache[layer, pages]
+    return out.reshape(*out.shape[:-1], kvh, out.shape[-1] // kvh)
 
 
 # ---------------------------------------------------------------------------
@@ -104,14 +104,14 @@ def ragged_attention_reference(q, k_cache, v_cache, meta: AttnMeta, scale: float
     q: (T, QH, hd) -> out (T, QH, hd).
     """
     T, QH, hd = q.shape
-    bs = k_cache.shape[-3]
-    KVH = k_cache.shape[-2]
+    bs = k_cache.shape[-2]
+    KVH = k_cache.shape[-1] // hd
     S, maxB = meta.block_tables.shape
     G = QH // KVH
 
     # (S, maxB, bs, KVH, hd) -> (S, KVH, maxB*bs, hd)
-    k_all = page_gather(k_cache, layer, meta.block_tables).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
-    v_all = page_gather(v_cache, layer, meta.block_tables).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
+    k_all = page_gather(k_cache, layer, meta.block_tables, KVH).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
+    v_all = page_gather(v_cache, layer, meta.block_tables, KVH).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
     k_tok = k_all[meta.seg_ids]  # (T, KVH, Lk, hd)
     v_tok = v_all[meta.seg_ids]
 
@@ -146,7 +146,8 @@ def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
     kernel replaces this with per-sequence early exit).
     """
     S, QH, hd = q.shape
-    bs, KVH = k_cache.shape[-3], k_cache.shape[-2]
+    bs = k_cache.shape[-2]
+    KVH = k_cache.shape[-1] // hd
     G = QH // KVH
     maxB = block_tables.shape[1]
     qg = q.reshape(S, KVH, G, hd).astype(jnp.float32)
@@ -154,8 +155,8 @@ def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
     def body(carry, j):
         m, l, acc = carry
         pages = block_tables[:, j]                       # (S,)
-        k = page_gather(k_cache, layer, pages).astype(jnp.float32)  # (S, bs, KVH, hd)
-        v = page_gather(v_cache, layer, pages).astype(jnp.float32)
+        k = page_gather(k_cache, layer, pages, KVH).astype(jnp.float32)  # (S, bs, KVH, hd)
+        v = page_gather(v_cache, layer, pages, KVH).astype(jnp.float32)
         s = jnp.einsum("skgh,sbkh->skgb", qg, k) * scale
         pos = j * bs + jnp.arange(bs, dtype=jnp.int32)
         live = pos[None, :] < context_lens[:, None]      # (S, bs)
@@ -189,7 +190,8 @@ def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
     softmax, so peak transient memory is O(T * block_size) scores.
     """
     T, QH, hd = q.shape
-    bs, KVH = k_cache.shape[-3], k_cache.shape[-2]
+    bs = k_cache.shape[-2]
+    KVH = k_cache.shape[-1] // hd
     G = QH // KVH
     C = T // chunk
     maxB = meta.block_tables.shape[1]
@@ -201,8 +203,8 @@ def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
 
     def body(carry, j):
         m, l, acc = carry
-        k = page_gather(k_cache, layer, pages_c[:, j]).astype(jnp.float32)  # (C, bs, KVH, hd)
-        v = page_gather(v_cache, layer, pages_c[:, j]).astype(jnp.float32)
+        k = page_gather(k_cache, layer, pages_c[:, j], KVH).astype(jnp.float32)  # (C, bs, KVH, hd)
+        v = page_gather(v_cache, layer, pages_c[:, j], KVH).astype(jnp.float32)
         s = jnp.einsum("cqkgh,cbkh->ckgqb", qc, k) * scale  # (C, KVH, G, chunk, bs)
         kv_pos = j * bs + jnp.arange(bs, dtype=jnp.int32)
         live = (kv_pos[None, None, :] < ctx_c[:, None, None]) & \

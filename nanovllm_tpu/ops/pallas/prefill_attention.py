@@ -29,7 +29,7 @@ N_BUF = 2
 
 def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref,
                     q_ref,                    # (CQ, QH, hd) VMEM
-                    k_hbm, v_hbm,             # (L, NB, bs, KVH, hd) HBM
+                    k_hbm, v_hbm,             # (L, NB, bs, KVH*hd) HBM
                     out_ref,                  # (CQ, QH, hd) VMEM
                     k_buf, v_buf, sems,
                     *, cq: int, bs: int, kvh: int, group: int, hd: int,
@@ -53,13 +53,15 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
         dma(k_buf, k_hbm, 0, 0, 0).start()
         dma(v_buf, v_hbm, 0, 0, 1).start()
 
-    # (CQ, QH, hd) -> (KVH, G*CQ, hd); row r of head-group k is token r % cq
-    q = q_ref[...].reshape(cq, kvh, group, hd).transpose(1, 2, 0, 3) \
-        .reshape(kvh, group * cq, hd)
-    row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (group * cq, 1), 0) % cq
+    # Token r of the chunk sits at absolute position pos0 + r.
+    row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0)
+    nq = kvh * group
 
+    # Flash state per query head as separate loop-carried leaves (Mosaic
+    # lowers neither scatter nor value-DUS); GQA batching is a static loop
+    # of plain 2D (CQ, hd) x (hd, bs) dots.
     def body(j, carry):
-        m, l, acc = carry
+        ms, ls, accs = carry
         slot = j % N_BUF
 
         @pl.when(j + 1 < npages)
@@ -71,49 +73,43 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
         dma(k_buf, k_hbm, slot, j, 0).wait()
         dma(v_buf, v_hbm, slot, j, 1).wait()
 
-        k = k_buf[slot]                       # (bs, KVH, hd)
-        v = v_buf[slot]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (1,))),
-            preferred_element_type=jnp.float32) * scale   # (KVH, G*CQ, bs)
         kv_pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        live = (kv_pos <= row_pos) & (kv_pos < ctx)       # (G*CQ, bs)
-        live = live[None, :, :]
-        s = jnp.where(live, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[..., None])
-        p = jnp.where(live, p, 0.0)
-        corr = jnp.exp(m - m_new)
-        l = l * corr + jnp.sum(p, axis=-1)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (0,)), ((0,), (1,))),
-            preferred_element_type=jnp.float32)           # (KVH, G*CQ, hd)
-        acc = acc * corr[..., None] + pv
-        return m_new, l, acc
+        live = (kv_pos <= row_pos) & (kv_pos < ctx)       # (CQ, bs)
+        ms2, ls2, accs2 = [], [], []
+        for i in range(nq):
+            h = i // group
+            q_i = q_ref[:, i, :]                          # (CQ, hd)
+            k_h = k_buf[slot, :, h * hd:(h + 1) * hd]     # (bs, hd) column slice
+            v_h = v_buf[slot, :, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(
+                q_i, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # (CQ, bs)
+            s = jnp.where(live, s, NEG_INF)
+            m_new = jnp.maximum(ms[i], jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            p = jnp.where(live, p, 0.0)
+            corr = jnp.exp(ms[i] - m_new)
+            pv = jax.lax.dot_general(
+                p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (CQ, hd)
+            ms2.append(m_new)
+            ls2.append(ls[i] * corr + jnp.sum(p, axis=-1, keepdims=True))
+            accs2.append(accs[i] * corr + pv)
+        return tuple(ms2), tuple(ls2), tuple(accs2)
 
-    init = (jnp.full((kvh, group * cq), NEG_INF, jnp.float32),
-            jnp.zeros((kvh, group * cq), jnp.float32),
-            jnp.zeros((kvh, group * cq, hd), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(0, npages, body, init)
+    init = (tuple(jnp.full((cq, 1), NEG_INF, jnp.float32) for _ in range(nq)),
+            tuple(jnp.zeros((cq, 1), jnp.float32) for _ in range(nq)),
+            tuple(jnp.zeros((cq, hd), jnp.float32) for _ in range(nq)))
+    ms, ls, accs = jax.lax.fori_loop(0, npages, body, init)
 
-    safe_l = jnp.where(l > 0.0, l, 1.0)
-    out = acc / safe_l[..., None]                          # (KVH, G*CQ, hd)
-    out = out.reshape(kvh, group, cq, hd).transpose(2, 0, 1, 3) \
-        .reshape(cq, kvh * group, hd)
-    out_ref[...] = out.astype(out_ref.dtype)
+    for i in range(nq):
+        safe_l = jnp.where(ls[i] > 0.0, ls[i], 1.0)
+        out_ref[:, i, :] = (accs[i] / safe_l).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cq", "scale", "interpret"))
-def ragged_prefill_attention(q, k_cache, v_cache, chunk_seg, chunk_pos,
-                             block_tables, context_lens, layer,
-                             *, cq: int, scale: float, interpret: bool = False):
-    """q: (T, QH, hd), T == C * cq; chunk_seg/chunk_pos: (C,).
-    Returns (T, QH, hd)."""
-    T, QH, hd = q.shape
-    _, _, bs, kvh, _ = k_cache.shape
-    group = QH // kvh
+@functools.lru_cache(maxsize=64)
+def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, interpret):
     C = T // cq
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(C,),
@@ -126,18 +122,34 @@ def ragged_prefill_attention(q, k_cache, v_cache, chunk_seg, chunk_pos,
         out_specs=pl.BlockSpec((cq, QH, hd), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, bs, kvh, hd), k_cache.dtype),
-            pltpu.VMEM((N_BUF, bs, kvh, hd), v_cache.dtype),
+            pltpu.VMEM((N_BUF, bs, kvh * hd), dtype),
+            pltpu.VMEM((N_BUF, bs, kvh * hd), dtype),
             pltpu.SemaphoreType.DMA((2, N_BUF)),
         ],
     )
-    kernel = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_prefill_kernel, cq=cq, bs=bs, kvh=kvh, group=group,
                           hd=hd, scale=scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, QH, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, QH, hd), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )
+
+
+def ragged_prefill_attention(q, k_cache, v_cache, chunk_seg, chunk_pos,
+                             block_tables, context_lens, layer,
+                             *, cq: int, scale: float, interpret: bool = False):
+    """q: (T, QH, hd), T == C * cq; chunk_seg/chunk_pos: (C,).
+    Returns (T, QH, hd). The pallas_call is memoized on shapes (one Mosaic
+    lowering per shape, shared across layers and steps)."""
+    T, QH, hd = q.shape
+    _, _, bs, row = k_cache.shape
+    kvh = row // hd
+    group = QH // kvh
+    kernel = _build_kernel(T, QH, hd, bs, kvh, group, cq,
+                           jnp.dtype(q.dtype), float(scale), interpret)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     return kernel(layer, chunk_seg, chunk_pos, block_tables, context_lens,
                   q, k_cache, v_cache)

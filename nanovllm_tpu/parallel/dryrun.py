@@ -80,7 +80,7 @@ def run_dryrun(n_devices: int) -> None:
     S, maxB, bs, chunk = 4, 4, 16, 16
     nblocks = S * maxB + 1
     kv_sharding = NamedSharding(mesh, tplib.kv_cache_pspec())
-    shape = (spec.num_layers, nblocks, bs, spec.num_kv_heads, spec.head_dim)
+    shape = (spec.num_layers, nblocks, bs, spec.num_kv_heads * spec.head_dim)
     k_cache = jax.device_put(jnp.zeros(shape, jnp.float32), kv_sharding)
     v_cache = jax.device_put(jnp.zeros(shape, jnp.float32), kv_sharding)
 

@@ -74,8 +74,9 @@ def param_pspecs(spec: DenseSpec) -> dict:
 
 
 def kv_cache_pspec() -> P:
-    # (L, NB, bs, KVH, hd): shard the kv-head axis
-    return P(None, None, None, TP_AXIS, None)
+    # (L, NB, bs, KVH*hd): shard the flat head-feature axis — contiguous
+    # column blocks are whole kv heads, so each shard owns its local heads
+    return P(None, None, None, TP_AXIS)
 
 
 def _shard_major(arr, seg_sizes, tp: int, axis: int = -1):

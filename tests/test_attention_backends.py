@@ -31,8 +31,8 @@ def build_case(seed, ctx_lens, q_lens):
     (queries occupy positions [ctx-q, ctx))."""
     rng = np.random.default_rng(seed)
     nblocks = S * MAXB + 1
-    k_cache = rng.standard_normal((nblocks, BS, KVH, HD), dtype=np.float32)
-    v_cache = rng.standard_normal((nblocks, BS, KVH, HD), dtype=np.float32)
+    k_cache = rng.standard_normal((nblocks, BS, KVH * HD), dtype=np.float32)
+    v_cache = rng.standard_normal((nblocks, BS, KVH * HD), dtype=np.float32)
 
     block_tables = np.zeros((S, MAXB), np.int32)
     next_page = 1  # page 0 stays a shared scratch page
@@ -97,8 +97,8 @@ def test_blockwise_decode_matches_reference():
     # decode layout: T == S, one token per slot, no chunk padding
     rng = np.random.default_rng(3)
     nblocks = S * MAXB + 1
-    k_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH, HD), dtype=np.float32))
-    v_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH, HD), dtype=np.float32))
+    k_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH * HD), dtype=np.float32))
+    v_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH * HD), dtype=np.float32))
     block_tables = np.zeros((S, MAXB), np.int32)
     nxt = 1
     for i, ctx in enumerate(ctx_lens):
@@ -132,8 +132,8 @@ def test_pallas_decode_kernel_matches_reference():
     ctx_lens = (24, 1, 95, 0)  # includes an empty padded slot
     rng = np.random.default_rng(11)
     nblocks = S * MAXB + 1
-    k_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH, HD), dtype=np.float32))
-    v_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH, HD), dtype=np.float32))
+    k_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH * HD), dtype=np.float32))
+    v_cache = jnp.asarray(rng.standard_normal((nblocks, BS, KVH * HD), dtype=np.float32))
     block_tables = np.zeros((S, MAXB), np.int32)
     nxt = 1
     for i, ctx in enumerate(ctx_lens):
@@ -190,7 +190,7 @@ def test_pallas_prefill_kernel_matches_reference():
 
 def test_write_kv_roundtrip():
     rng = np.random.default_rng(5)
-    k_cache = jnp.zeros((8, BS, KVH, HD), jnp.float32)
+    k_cache = jnp.zeros((8, BS, KVH * HD), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
     T = 10
     slots = jnp.asarray(rng.choice(8 * BS, size=T, replace=False).astype(np.int32))

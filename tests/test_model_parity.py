@@ -36,7 +36,7 @@ def run_engine_logits(spec, params, prompts, n_decode=3, hf_next_tokens=None):
     for s in seqs:
         bm.allocate(s)
 
-    k_cache = jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads, spec.head_dim), jnp.float32)
+    k_cache = jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
 
     def step(batch, k_cache, v_cache):
@@ -169,7 +169,7 @@ def test_prefix_cache_reuse_matches_fresh_compute():
     hf_steps, _ = hf_reference_logits(model, [p2], 0, rng)
 
     bm = BlockManager(NBLOCKS - 1, BLOCK)
-    k_cache = jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads, spec.head_dim), jnp.float32)
+    k_cache = jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
 
     def run_prefill(seq, k_cache, v_cache):

@@ -1,0 +1,73 @@
+"""Microbench of the paged decode attention kernel alone (no model), on TPU.
+
+Times `layers` back-to-back kernel invocations (as the per-layer scan does)
+for several context lengths and reports effective KV bandwidth.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--S", type=int, default=96)
+    p.add_argument("--bs", type=int, default=256)
+    p.add_argument("--kvh", type=int, default=8)
+    p.add_argument("--group", type=int, default=2)
+    p.add_argument("--hd", type=int, default=128)
+    p.add_argument("--layers", type=int, default=28)
+    p.add_argument("--blocks", type=int, default=360)
+    p.add_argument("--ctxs", default="256,1024,2048")
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nanovllm_tpu.ops.pallas.decode_attention import paged_decode_attention
+
+    S, bs, kvh, hd = args.S, args.bs, args.kvh, args.hd
+    QH = kvh * args.group
+    L = 2  # small stack; bandwidth behavior is per-page, layer count emulated
+    maxB = 8
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((L, args.blocks, bs, kvh * hd)).astype(np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((L, args.blocks, bs, kvh * hd)).astype(np.float32)).astype(jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((S, QH, hd)).astype(np.float32)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def run(q, k, v, tables, ctx):
+        out = q
+        for i in range(args.layers):
+            out = paged_decode_attention(out, k, v, tables, ctx,
+                                         i % L, scale=hd ** -0.5)
+        return out
+
+    for ctx_len in [int(x) for x in args.ctxs.split(",")]:
+        npages = -(-ctx_len // bs)
+        tables = np.zeros((S, maxB), np.int32)
+        for i in range(S):
+            tables[i, :npages] = (np.arange(npages) * S + i) % args.blocks
+        tables = jnp.asarray(tables)
+        ctx = jnp.full((S,), ctx_len, jnp.int32)
+        out = run(q, k, v, tables, ctx)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = run(q, k, v, tables, ctx)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / args.iters
+        bytes_moved = 2 * args.layers * S * npages * bs * kvh * hd * 2
+        per_iter = dt / (args.layers * S * max(npages // 2, 1)) * 1e6
+        print(f"ctx={ctx_len}: {dt*1e3:.2f} ms for {args.layers} layers "
+              f"-> {bytes_moved/dt/2**30:.0f} GiB/s, "
+              f"{per_iter:.1f} us/page-pair-iter", flush=True)
+
+
+if __name__ == "__main__":
+    main()
