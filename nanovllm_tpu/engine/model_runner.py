@@ -71,24 +71,35 @@ class ModelRunner:
         shape = (self.adapter.num_layers, self.num_kvcache_blocks,
                  config.kvcache_block_size,
                  self.adapter.num_kv_heads * self.adapter.head_dim)
-        self.k_cache = jnp.zeros(shape, self.kv_dtype)
-        self.v_cache = jnp.zeros(shape, self.kv_dtype)
-        logger.info("KV cache: %d blocks x %d tokens (%.2f GiB)",
-                    self.num_kvcache_blocks, config.kvcache_block_size,
-                    2 * np.prod(shape) * self.k_cache.dtype.itemsize / 2**30)
+        if self.kv_dtype == jnp.int8:
+            sshape = (self.adapter.num_layers, self.num_kvcache_blocks,
+                      self.adapter.num_kv_heads, config.kvcache_block_size)
+            self.cache = attn_ops.KVCache(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32))
+        else:
+            self.cache = attn_ops.KVCache(
+                jnp.zeros(shape, self.kv_dtype), jnp.zeros(shape, self.kv_dtype))
+        gib = sum(x.nbytes for x in jax.tree.leaves(self.cache)) / 2**30
+        logger.info("KV cache (%s): %d blocks x %d tokens (%.2f GiB)",
+                    self.kv_dtype.__name__, self.num_kvcache_blocks,
+                    config.kvcache_block_size, gib)
 
         self.dummy_slot = (self.num_kvcache_blocks - 1) * config.kvcache_block_size
         self._prefill_attn, self._decode_attn = self._select_backends()
         self._jit_step = jax.jit(
-            self._step, static_argnames=("is_prefill",), donate_argnums=(1, 2))
+            self._step, static_argnames=("is_prefill",), donate_argnums=(1,))
         self._step_counter = 0
 
     # -- setup ------------------------------------------------------------
     def _size_kv_cache(self) -> int:
         cfg = self.config
-        block_bytes = (self.adapter.num_layers * 2 * self.adapter.num_kv_heads
-                       * cfg.kvcache_block_size * self.adapter.head_dim
-                       * jnp.dtype(self.kv_dtype).itemsize)
+        itemsize = jnp.dtype(self.kv_dtype).itemsize
+        per_token = self.adapter.num_kv_heads * self.adapter.head_dim * itemsize
+        if self.kv_dtype == jnp.int8:
+            per_token += self.adapter.num_kv_heads * 4  # f32 scales
+        block_bytes = (self.adapter.num_layers * 2 * cfg.kvcache_block_size
+                       * per_token)
         if cfg.num_kvcache_blocks > 0:
             return cfg.num_kvcache_blocks
         dev = jax.local_devices()[0]
@@ -129,13 +140,13 @@ class ModelRunner:
         if backend == "jnp":
             chunk = self.config.prefill_chunk
 
-            def prefill(q, k, v, meta, scale, layer=None):
+            def prefill(q, cache, meta, scale, layer=None):
                 return attn_ops.ragged_prefill_attention_jnp(
-                    q, k, v, meta, scale, chunk, layer=layer)
+                    q, cache, meta, scale, chunk, layer=layer)
 
-            def decode(q, k, v, meta, scale, layer=None):
+            def decode(q, cache, meta, scale, layer=None):
                 return attn_ops.paged_decode_attention_jnp(
-                    q, k, v, meta.block_tables, meta.context_lens, scale,
+                    q, cache, meta.block_tables, meta.context_lens, scale,
                     layer=layer)
 
             return prefill, decode
@@ -145,19 +156,19 @@ class ModelRunner:
         raise ValueError(f"unknown attention backend {backend!r}")
 
     # -- the jitted step ---------------------------------------------------
-    def _step(self, params, k_cache, v_cache, dev, step_idx, *, is_prefill):
+    def _step(self, params, cache, dev, step_idx, *, is_prefill):
         meta = attn_ops.AttnMeta(
             seg_ids=dev["seg_ids"], positions=dev["positions"],
             slot_mapping=dev["slot_mapping"], block_tables=dev["block_tables"],
             context_lens=dev["context_lens"], last_token_idx=dev["last_token_idx"],
             chunk_seg=dev["chunk_seg"], num_seqs=dev["num_seqs"])
         attn_fn = self._prefill_attn if is_prefill else self._decode_attn
-        hidden, k_cache, v_cache = self.adapter.forward(
-            params, dev["input_ids"], meta, k_cache, v_cache, attn_fn)
+        hidden, cache = self.adapter.forward(
+            params, dev["input_ids"], meta, cache, attn_fn)
         logits = self.adapter.compute_logits(params, hidden)
         key = jax.random.fold_in(jax.random.key(self.config.seed), step_idx)
         tokens = sample_tokens(logits, dev["temperatures"], key)
-        return k_cache, v_cache, tokens
+        return cache, tokens
 
     # -- public API --------------------------------------------------------
     def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
@@ -190,8 +201,8 @@ class ModelRunner:
             "num_seqs": jnp.asarray(batch.num_seqs, dtype=jnp.int32),
         }
         self._step_counter += 1
-        self.k_cache, self.v_cache, tokens = self._jit_step(
-            self.params, self.k_cache, self.v_cache, dev,
+        self.cache, tokens = self._jit_step(
+            self.params, self.cache, dev,
             jnp.asarray(self._step_counter, dtype=jnp.uint32),
             is_prefill=batch.is_prefill)
         return np.asarray(tokens)[: batch.num_seqs].tolist()

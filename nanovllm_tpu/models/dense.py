@@ -83,11 +83,11 @@ def _split_qkv(qkv, spec: DenseSpec):
 
 
 def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
-                  k_cache, v_cache, layer_idx, meta: attn_ops.AttnMeta,
+                  cache, layer_idx, meta: attn_ops.AttnMeta,
                   attn_fn):
-    """One decoder layer. h/residual: (T, D). k_cache/v_cache are the FULL
-    stacked caches (L, NB, KVH, bs, hd); all reads/writes go through fused
-    layer-indexed gathers/scatters so no per-layer slice is materialized."""
+    """One decoder layer. h/residual: (T, D). `cache` is the FULL stacked
+    KVCache; all reads/writes go through fused layer-indexed
+    gathers/scatters so no per-layer slice is materialized."""
     T = h.shape[0]
     normed, residual = add_rms_norm(h, residual, lp["ln1"], spec.rms_norm_eps)
 
@@ -104,9 +104,8 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     q = apply_rope(q, cos, sin, meta.positions)
     k = apply_rope(k, cos, sin, meta.positions)
 
-    k_cache, v_cache = attn_ops.write_kv(k_cache, v_cache, k, v,
-                                         meta.slot_mapping, layer=layer_idx)
-    o = attn_fn(q, k_cache, v_cache, meta, spec.head_dim ** -0.5, layer_idx)
+    cache = attn_ops.write_kv(cache, k, v, meta.slot_mapping, layer=layer_idx)
+    o = attn_fn(q, cache, meta, spec.head_dim ** -0.5, layer_idx)
     o = o.reshape(T, spec.q_size) @ lp["wo"]
     if spec.tp_axis:
         o = jax.lax.psum(o, spec.tp_axis)
@@ -124,36 +123,36 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     if spec.mlp_bias:
         mlp_out = mlp_out + lp["bdown"]
     mlp_out = mlp_out * spec.residual_scale
-    return mlp_out, residual, k_cache, v_cache
+    return mlp_out, residual, cache
 
 
 def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
-            k_cache, v_cache, attn_fn=None):
-    """Run the decoder. input_ids: (T,). k_cache/v_cache: (L, NB, KVH, bs, hd),
+            cache: attn_ops.KVCache, attn_fn=None):
+    """Run the decoder. input_ids: (T,). `cache` is the stacked KVCache,
     expected donated by the caller's jit. Returns (last_hidden (S, D),
-    k_cache, v_cache)."""
+    cache)."""
     if attn_fn is None:
         attn_fn = default_attn_fn
-    h = params["embed"][input_ids].astype(k_cache_dtype_to_compute(k_cache)) * spec.emb_scale
+    h = params["embed"][input_ids] * spec.emb_scale
     residual = jnp.zeros_like(h)
     cos, sin = params["rope_cos"], params["rope_sin"]
 
     def body(carry, xs):
-        h, residual, k_cache, v_cache = carry
+        h, residual, cache = carry
         lp, idx = xs
-        h, residual, k_cache, v_cache = decoder_layer(
-            spec, lp, h, residual, cos, sin, k_cache, v_cache, idx, meta, attn_fn)
-        return (h, residual, k_cache, v_cache), None
+        h, residual, cache = decoder_layer(
+            spec, lp, h, residual, cos, sin, cache, idx, meta, attn_fn)
+        return (h, residual, cache), None
 
     idxs = jnp.arange(spec.num_layers, dtype=jnp.int32)
-    (h, residual, k_cache, v_cache), _ = jax.lax.scan(
-        body, (h, residual, k_cache, v_cache), (params["layers"], idxs))
+    (h, residual, cache), _ = jax.lax.scan(
+        body, (h, residual, cache), (params["layers"], idxs))
 
     final = h + residual
     # Only the last query token of each slot feeds the LM head.
     selected = final[meta.last_token_idx]  # (S, D)
     selected = rms_norm(selected, params["final_ln"], spec.rms_norm_eps)
-    return selected, k_cache, v_cache
+    return selected, cache
 
 
 def compute_logits(spec: DenseSpec, params, hidden):
@@ -167,15 +166,9 @@ def compute_logits(spec: DenseSpec, params, hidden):
     return logits.astype(jnp.float32) * spec.logit_scale
 
 
-def k_cache_dtype_to_compute(k_cache):
-    """Model compute dtype follows the cache unless the cache is quantized."""
-    return jnp.bfloat16 if k_cache.dtype == jnp.int8 else k_cache.dtype
-
-
-def default_attn_fn(q, k_cache, v_cache, meta, scale, layer=None):
+def default_attn_fn(q, cache, meta, scale, layer=None):
     """Exact jnp reference path (CPU tests / small shapes)."""
-    return attn_ops.ragged_attention_reference(q, k_cache, v_cache, meta, scale,
-                                               layer=layer)
+    return attn_ops.ragged_attention_reference(q, cache, meta, scale, layer=layer)
 
 
 # ---------------------------------------------------------------------------

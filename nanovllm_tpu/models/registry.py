@@ -62,9 +62,9 @@ class DenseAdapter:
                                  rope_scaling=self.rope_scaling)
 
     # -- compute ----------------------------------------------------------
-    def forward(self, params, input_ids, meta, k_cache, v_cache, attn_fn):
-        return dense.forward(self.spec, params, input_ids, meta,
-                             k_cache, v_cache, attn_fn=attn_fn)
+    def forward(self, params, input_ids, meta, cache, attn_fn):
+        return dense.forward(self.spec, params, input_ids, meta, cache,
+                             attn_fn=attn_fn)
 
     def compute_logits(self, params, hidden):
         return dense.compute_logits(self.spec, params, hidden)

@@ -35,6 +35,32 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+class KVCache(NamedTuple):
+    """Paged KV cache pytree. Values: (L, NB, block_size, KVH*head_dim) in
+    bf16/f32, or int8 with per-token-per-head scales k_scale/v_scale of shape
+    (L, NB, KVH, block_size) float32 (transposed so the kernels can apply a
+    page's scales to score tiles without any in-kernel transpose). Scales are
+    None for non-quantized caches."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def quantize_rows(x, eps: float = 1e-8):
+    """x: (T, KVH, hd) -> (int8 values (T, KVH, hd), scales (T, KVH) f32)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, eps) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 class AttnMeta(NamedTuple):
     """Per-step batch metadata. T = padded token count, S = padded seq slots.
 
@@ -58,10 +84,10 @@ class AttnMeta(NamedTuple):
     num_seqs: jax.Array      # () int32: live slots (for host-side truncation)
 
 
-def write_kv(k_cache, v_cache, k, v, slot_mapping, layer=None):
-    """Scatter new K/V rows into the paged cache.
+def write_kv(cache: KVCache, k, v, slot_mapping, layer=None) -> KVCache:
+    """Scatter new K/V rows into the paged cache (quantizing if int8).
 
-    Canonical cache shape: (num_blocks, block_size, KVH*head_dim) — one flat
+    Canonical value shape: (num_blocks, block_size, KVH*head_dim) — one flat
     feature row per token slot — with a leading layers axis when `layer` is
     given (the scan-over-layers path: scattering straight into the stacked
     cache keeps the whole update in-place under donation). The flat row is
@@ -72,46 +98,74 @@ def write_kv(k_cache, v_cache, k, v, slot_mapping, layer=None):
     copies).
     k/v: (T, KVH, head_dim). slot_mapping: (T,) flat slots.
     """
-    bs = k_cache.shape[-2]
+    bs = cache.k.shape[-2]
     blocks = slot_mapping // bs
     offs = slot_mapping % bs
-    k = k.reshape(k.shape[0], -1).astype(k_cache.dtype)
-    v = v.reshape(v.shape[0], -1).astype(v_cache.dtype)
+    ks = vs = None
+    if cache.quantized:
+        k, ks = quantize_rows(k)   # (T, KVH, hd) int8, (T, KVH) f32
+        v, vs = quantize_rows(v)
+    k = k.reshape(k.shape[0], -1).astype(cache.k.dtype)
+    v = v.reshape(v.shape[0], -1).astype(cache.v.dtype)
     if layer is None:
-        k_cache = k_cache.at[blocks, offs, :].set(k, mode="drop")
-        v_cache = v_cache.at[blocks, offs, :].set(v, mode="drop")
+        kc = cache.k.at[blocks, offs, :].set(k, mode="drop")
+        vc = cache.v.at[blocks, offs, :].set(v, mode="drop")
+        if cache.quantized:
+            ksc = cache.k_scale.at[blocks, :, offs].set(ks, mode="drop")
+            vsc = cache.v_scale.at[blocks, :, offs].set(vs, mode="drop")
     else:
-        k_cache = k_cache.at[layer, blocks, offs, :].set(k, mode="drop")
-        v_cache = v_cache.at[layer, blocks, offs, :].set(v, mode="drop")
-    return k_cache, v_cache
+        kc = cache.k.at[layer, blocks, offs, :].set(k, mode="drop")
+        vc = cache.v.at[layer, blocks, offs, :].set(v, mode="drop")
+        if cache.quantized:
+            ksc = cache.k_scale.at[layer, blocks, :, offs].set(ks, mode="drop")
+            vsc = cache.v_scale.at[layer, blocks, :, offs].set(vs, mode="drop")
+    if not cache.quantized:
+        return KVCache(kc, vc, None, None)
+    return KVCache(kc, vc, ksc, vsc)
 
 
-def page_gather(cache, layer, pages, kvh):
-    """cache[layer][pages] as ONE fused gather (a separate layer slice would
-    materialize the whole layer). Returns (..., bs, KVH, hd)."""
-    out = cache[pages] if layer is None else cache[layer, pages]
+def _gather_values(values, layer, pages, kvh):
+    out = values[pages] if layer is None else values[layer, pages]
     return out.reshape(*out.shape[:-1], kvh, out.shape[-1] // kvh)
+
+
+def gather_k_pages(cache: KVCache, layer, pages, kvh):
+    """Dequantized K pages: (..., bs, KVH, hd) float32."""
+    out = _gather_values(cache.k, layer, pages, kvh).astype(jnp.float32)
+    if cache.quantized:
+        sc = cache.k_scale[pages] if layer is None else cache.k_scale[layer, pages]
+        # (..., KVH, bs) -> broadcast over hd
+        out = out * jnp.swapaxes(sc, -1, -2)[..., None]
+    return out
+
+
+def gather_v_pages(cache: KVCache, layer, pages, kvh):
+    out = _gather_values(cache.v, layer, pages, kvh).astype(jnp.float32)
+    if cache.quantized:
+        sc = cache.v_scale[pages] if layer is None else cache.v_scale[layer, pages]
+        out = out * jnp.swapaxes(sc, -1, -2)[..., None]
+    return out
 
 
 # ---------------------------------------------------------------------------
 # jnp reference backend (hardware-free; exact, O(T * max_kv) memory)
 # ---------------------------------------------------------------------------
 
-def ragged_attention_reference(q, k_cache, v_cache, meta: AttnMeta, scale: float,
+def ragged_attention_reference(q, cache: KVCache, meta: AttnMeta, scale: float,
                                layer=None):
     """Exact ragged paged attention by full gather. Test/CPU sizes only.
 
     q: (T, QH, hd) -> out (T, QH, hd).
     """
     T, QH, hd = q.shape
-    bs = k_cache.shape[-2]
-    KVH = k_cache.shape[-1] // hd
+    bs = cache.k.shape[-2]
+    KVH = cache.k.shape[-1] // hd
     S, maxB = meta.block_tables.shape
     G = QH // KVH
 
     # (S, maxB, bs, KVH, hd) -> (S, KVH, maxB*bs, hd)
-    k_all = page_gather(k_cache, layer, meta.block_tables, KVH).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
-    v_all = page_gather(v_cache, layer, meta.block_tables, KVH).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
+    k_all = gather_k_pages(cache, layer, meta.block_tables, KVH).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
+    v_all = gather_v_pages(cache, layer, meta.block_tables, KVH).transpose(0, 3, 1, 2, 4).reshape(S, KVH, maxB * bs, hd)
     k_tok = k_all[meta.seg_ids]  # (T, KVH, Lk, hd)
     v_tok = v_all[meta.seg_ids]
 
@@ -138,7 +192,7 @@ def ragged_attention_reference(q, k_cache, v_cache, meta: AttnMeta, scale: float
 # jnp decode backend (memory-safe: streams pages with online softmax)
 # ---------------------------------------------------------------------------
 
-def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
+def paged_decode_attention_jnp(q, cache: KVCache, block_tables, context_lens,
                                scale: float, layer=None):
     """Flash-style decode: one query per slot, scan over page columns.
 
@@ -146,8 +200,8 @@ def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
     kernel replaces this with per-sequence early exit).
     """
     S, QH, hd = q.shape
-    bs = k_cache.shape[-2]
-    KVH = k_cache.shape[-1] // hd
+    bs = cache.k.shape[-2]
+    KVH = cache.k.shape[-1] // hd
     G = QH // KVH
     maxB = block_tables.shape[1]
     qg = q.reshape(S, KVH, G, hd).astype(jnp.float32)
@@ -155,8 +209,8 @@ def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
     def body(carry, j):
         m, l, acc = carry
         pages = block_tables[:, j]                       # (S,)
-        k = page_gather(k_cache, layer, pages, KVH).astype(jnp.float32)  # (S, bs, KVH, hd)
-        v = page_gather(v_cache, layer, pages, KVH).astype(jnp.float32)
+        k = gather_k_pages(cache, layer, pages, KVH)     # (S, bs, KVH, hd)
+        v = gather_v_pages(cache, layer, pages, KVH)
         s = jnp.einsum("skgh,sbkh->skgb", qg, k) * scale
         pos = j * bs + jnp.arange(bs, dtype=jnp.int32)
         live = pos[None, :] < context_lens[:, None]      # (S, bs)
@@ -181,7 +235,7 @@ def paged_decode_attention_jnp(q, k_cache, v_cache, block_tables, context_lens,
 # jnp chunked ragged prefill (memory-safe: one page column in flight)
 # ---------------------------------------------------------------------------
 
-def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
+def ragged_prefill_attention_jnp(q, cache: KVCache, meta: AttnMeta,
                                  scale: float, chunk: int = 128, layer=None):
     """Flash-style varlen prefill over the chunk-aligned layout.
 
@@ -190,8 +244,8 @@ def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
     softmax, so peak transient memory is O(T * block_size) scores.
     """
     T, QH, hd = q.shape
-    bs = k_cache.shape[-2]
-    KVH = k_cache.shape[-1] // hd
+    bs = cache.k.shape[-2]
+    KVH = cache.k.shape[-1] // hd
     G = QH // KVH
     C = T // chunk
     maxB = meta.block_tables.shape[1]
@@ -203,8 +257,8 @@ def ragged_prefill_attention_jnp(q, k_cache, v_cache, meta: AttnMeta,
 
     def body(carry, j):
         m, l, acc = carry
-        k = page_gather(k_cache, layer, pages_c[:, j], KVH).astype(jnp.float32)  # (C, bs, KVH, hd)
-        v = page_gather(v_cache, layer, pages_c[:, j], KVH).astype(jnp.float32)
+        k = gather_k_pages(cache, layer, pages_c[:, j], KVH)  # (C, bs, KVH, hd)
+        v = gather_v_pages(cache, layer, pages_c[:, j], KVH)
         s = jnp.einsum("cqkgh,cbkh->ckgqb", qc, k) * scale  # (C, KVH, G, chunk, bs)
         kv_pos = j * bs + jnp.arange(bs, dtype=jnp.int32)
         live = (kv_pos[None, None, :] < ctx_c[:, None, None]) & \

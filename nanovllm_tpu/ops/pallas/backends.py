@@ -14,16 +14,16 @@ from nanovllm_tpu.ops.pallas.prefill_attention import ragged_prefill_attention
 def get_attention_fns(config):
     cq = config.prefill_chunk
 
-    def prefill(q, k_cache, v_cache, meta, scale, layer=None):
+    def prefill(q, cache, meta, scale, layer=None):
         C = q.shape[0] // cq
         chunk_pos = meta.positions.reshape(C, cq)[:, 0]
         return ragged_prefill_attention(
-            q, k_cache, v_cache, meta.chunk_seg, chunk_pos,
+            q, cache, meta.chunk_seg, chunk_pos,
             meta.block_tables, meta.context_lens, layer, cq=cq, scale=scale)
 
-    def decode(q, k_cache, v_cache, meta, scale, layer=None):
+    def decode(q, cache, meta, scale, layer=None):
         return paged_decode_attention(
-            q, k_cache, v_cache, meta.block_tables, meta.context_lens,
+            q, cache, meta.block_tables, meta.context_lens,
             layer, scale=scale)
 
     return prefill, decode

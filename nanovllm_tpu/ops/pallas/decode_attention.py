@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: paged decode attention.
+"""Pallas TPU kernel: paged decode attention (bf16 or quantized-int8 KV).
 
 Replaces the reference's fused NPU op `npu_fused_infer_attention_score_v2`
 on the decode path (reference nanovllm/layers/attention.py:63-93): one query
@@ -6,20 +6,25 @@ token per sequence slot, keys/values read page-by-page from the paged HBM
 cache through the per-slot block table, with per-sequence early exit
 (ceil(context/page) pages — the jnp fallback reads every padded column).
 
-Performance shape (v3): decode attention compute is tiny next to its HBM
-traffic, so the kernel keeps fixed per-op overheads off the DMA critical
-path:
+Performance shape: decode attention compute is tiny next to its HBM traffic,
+so the kernel keeps fixed per-op overheads off the DMA critical path:
   * GQA heads fold into ONE matmul per page group via a block-diagonal
     query — q_bd (QH, KVH*hd) places head i's vector in its kv-head's column
     block, so q_bd @ K_page^T is exactly the grouped scores. q_bd is built
-    (and the per-head output extracted) in the jitted CALLER: XLA fuses
-    those relayouts far more cheaply than Mosaic executes them per program.
+    (and the per-head output extracted) in the jitted CALLER.
   * Pages stream PAGES_PER_ITER at a time with double-buffered DMA of whole
     flat (bs, KVH*hd) rows — few large copies instead of per-head slices.
+  * INT8 KV: values are int8 with per-token-per-head scales stored
+    TRANSPOSED as (KVH, bs) pages. Because each block-diagonal score row
+    touches exactly one kv head, dequantization is exact as a post-matmul
+    elementwise multiply: scale_mat = repeat(scales, G, axis=0) applied to
+    the (QH, P*bs) score tile (K) and folded into the probabilities right
+    before the V matmul (after l is accumulated from the UNscaled
+    probabilities). Halves decode HBM traffic and doubles cache capacity.
 
-Layout contract: caches are (L, num_blocks, block_size, KVH*head_dim) in
-HBM (the engine's canonical shape); the kernel gets the full stack plus the
-layer index as a prefetched scalar — no per-layer slice is materialized.
+Layout contract: cache values (L, num_blocks, block_size, KVH*head_dim),
+scales (L, num_blocks, KVH, block_size) f32; the kernel gets full stacks
+plus the layer index as a prefetched scalar.
 """
 
 from __future__ import annotations
@@ -31,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nanovllm_tpu.ops.attention import KVCache
+
 NEG_INF = -1e30
 N_BUF = 2
 PAGES_PER_ITER = 2
@@ -38,11 +45,16 @@ PAGES_PER_ITER = 2
 
 def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
                    qbd_ref,                           # (1, QH, KVH*hd) VMEM
-                   k_hbm, v_hbm,                      # (L, NB, bs, KVH*hd) HBM
-                   out_ref,                           # (1, QH, KVH*hd) VMEM
-                   k_buf, v_buf,                      # (N_BUF, P, bs, KVH*hd)
-                   sems,                               # DMA sems (2, N_BUF, P)
-                   *, bs: int, row_dim: int, scale: float):
+                   *refs,
+                   bs: int, row_dim: int, group: int, scale: float,
+                   quantized: bool):
+    if quantized:
+        (k_hbm, v_hbm, ks_hbm, vs_hbm, out_ref,
+         k_buf, v_buf, ks_buf, vs_buf, sems) = refs
+    else:
+        k_hbm, v_hbm, out_ref, k_buf, v_buf, sems = refs
+        ks_hbm = vs_hbm = ks_buf = vs_buf = None
+
     P = PAGES_PER_ITER
     seq = pl.program_id(0)
     layer = layer_ref[0]
@@ -58,18 +70,23 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
             @pl.when(j < npages)
             def _():
                 page = tables_ref[seq, j]
-                kc = pltpu.make_async_copy(k_hbm.at[layer, page],
-                                           k_buf.at[slot, p],
-                                           sems.at[0, slot, p])
-                vc = pltpu.make_async_copy(v_hbm.at[layer, page],
-                                           v_buf.at[slot, p],
-                                           sems.at[1, slot, p])
-                if do_start:
-                    kc.start()
-                    vc.start()
-                else:
-                    kc.wait()
-                    vc.wait()
+                copies = [
+                    pltpu.make_async_copy(k_hbm.at[layer, page],
+                                          k_buf.at[slot, p],
+                                          sems.at[0, slot, p]),
+                    pltpu.make_async_copy(v_hbm.at[layer, page],
+                                          v_buf.at[slot, p],
+                                          sems.at[1, slot, p]),
+                ]
+                if quantized:
+                    copies.append(pltpu.make_async_copy(
+                        ks_hbm.at[layer, page], ks_buf.at[slot, p],
+                        sems.at[2, slot, p]))
+                    copies.append(pltpu.make_async_copy(
+                        vs_hbm.at[layer, page], vs_buf.at[slot, p],
+                        sems.at[3, slot, p]))
+                for c in copies:
+                    (c.start if do_start else c.wait)()
 
     @pl.when(niters > 0)
     def _():
@@ -78,6 +95,14 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
     q_bd = qbd_ref[0]                                  # (QH, KVH*hd)
     nq = q_bd.shape[0]
     rows = P * bs
+
+    def scale_mat(bufs, slot):
+        # (P, KVH, bs) f32 -> (QH, P*bs): concat pages on the lane axis, then
+        # TILE kv-head rows G times (pltpu.repeat tiles: [h0..hK, h0..hK, ..])
+        # — q_bd rows are permuted to the matching order (row r <-> kv head
+        # r % KVH) by the caller.
+        sc = jnp.concatenate([bufs[slot, p] for p in range(P)], axis=1)
+        return pltpu.repeat(sc, group, axis=0)
 
     def body(it, carry):
         m, l, acc = carry
@@ -91,9 +116,14 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
 
         k_flat = k_buf[slot].reshape(rows, row_dim)
         v_flat = v_buf[slot].reshape(rows, row_dim)
+        if quantized:
+            k_flat = k_flat.astype(jnp.bfloat16)
+            v_flat = v_flat.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q_bd, k_flat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale    # (QH, P*bs)
+        if quantized:
+            s = s * scale_mat(ks_buf, slot)
         rem = ctx - it * rows
         live = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) < rem
         s = jnp.where(live, s, NEG_INF)
@@ -101,7 +131,11 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         p_ = jnp.exp(s - m_new)
         p_ = jnp.where(live, p_, 0.0)
         corr = jnp.exp(m - m_new)
+        # l accumulates UNscaled probabilities (the softmax denominator);
+        # the per-column v-scale is folded into p only for the V matmul.
         l = l * corr + jnp.sum(p_, axis=-1, keepdims=True)
+        if quantized:
+            p_ = p_ * scale_mat(vs_buf, slot)
         pv = jax.lax.dot_general(
             p_.astype(v_flat.dtype), v_flat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (QH, KVH*hd)
@@ -118,26 +152,41 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_kernel(S, QH, hd, bs, row_dim, maxB, dtype, scale, interpret):
+def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
+                  interpret):
+    kvh = row_dim // hd
+    in_specs = [
+        pl.BlockSpec((1, QH, row_dim), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((N_BUF, PAGES_PER_ITER, bs, row_dim),
+                   jnp.int8 if quantized else dtype),
+        pltpu.VMEM((N_BUF, PAGES_PER_ITER, bs, row_dim),
+                   jnp.int8 if quantized else dtype),
+    ]
+    nsems = 2
+    if quantized:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
+                     pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch += [pltpu.VMEM((N_BUF, PAGES_PER_ITER, kvh, bs), jnp.float32),
+                    pltpu.VMEM((N_BUF, PAGES_PER_ITER, kvh, bs), jnp.float32)]
+        nsems = 4
+    scratch.append(pltpu.SemaphoreType.DMA((nsems, N_BUF, PAGES_PER_ITER)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S,),
-        in_specs=[
-            pl.BlockSpec((1, QH, row_dim), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, QH, row_dim), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((N_BUF, PAGES_PER_ITER, bs, row_dim), dtype),
-            pltpu.VMEM((N_BUF, PAGES_PER_ITER, bs, row_dim), dtype),
-            pltpu.SemaphoreType.DMA((2, N_BUF, PAGES_PER_ITER)),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_decode_kernel, bs=bs, row_dim=row_dim, scale=scale),
+        functools.partial(_decode_kernel, bs=bs, row_dim=row_dim, group=group,
+                          scale=scale, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, QH, row_dim), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -146,32 +195,42 @@ def _build_kernel(S, QH, hd, bs, row_dim, maxB, dtype, scale, interpret):
     )
 
 
-def paged_decode_attention(q, k_cache, v_cache, block_tables, context_lens,
+def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                            layer, *, scale: float, interpret: bool = False):
-    """q: (S, QH, hd); caches (L, NB, bs, KVH*hd); layer: () int32.
+    """q: (S, QH, hd); cache values (L, NB, bs, KVH*hd); layer: () int32.
     Returns (S, QH, hd). Slots with context_len == 0 yield zeros.
 
     The pallas_call object is memoized on shapes: one Mosaic lowering serves
     every layer of every step (a fresh partial() per call re-lowered the
     same kernel dozens of times and dominated compile time)."""
     S, QH, hd = q.shape
-    L, NB, bs, row_dim = k_cache.shape
+    L, NB, bs, row_dim = cache.k.shape
     kvh = row_dim // hd
     group = QH // kvh
 
-    # Block-diagonal query, built under XLA: head i -> column block i//group.
-    sel = (jnp.arange(QH) // group)[:, None] == jnp.arange(kvh)[None, :]
-    q_bd = jnp.where(sel[:, :, None], q[:, :, None, :],
+    # Block-diagonal query, built under XLA. Rows are PERMUTED to tiled
+    # kv-head order — row r holds original head perm[r] = (r % KVH) * G +
+    # r // KVH and its kv head is r % KVH — so the kernel's tiled scale
+    # matrix (pltpu.repeat) lines up exactly.
+    perm = [(r % kvh) * group + r // kvh for r in range(QH)]
+    q_perm = q[:, jnp.asarray(perm), :]
+    sel = (jnp.arange(QH) % kvh)[:, None] == jnp.arange(kvh)[None, :]
+    q_bd = jnp.where(sel[:, :, None], q_perm[:, :, None, :],
                      jnp.zeros((), q.dtype)).reshape(S, QH, row_dim)
+    out_dtype = jnp.dtype(jnp.bfloat16) if cache.quantized else jnp.dtype(q.dtype)
 
-    kernel = _build_kernel(S, QH, hd, bs, row_dim, block_tables.shape[1],
-                           jnp.dtype(q.dtype), float(scale), interpret)
+    kernel = _build_kernel(S, QH, hd, bs, row_dim, group, out_dtype,
+                           float(scale), cache.quantized, interpret)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
-    out_flat = kernel(layer, block_tables, context_lens, q_bd,
-                      k_cache, v_cache)
-    # Head i's output lives in its kv-head's column block: static slices +
-    # concat (a take_along_axis here lowers to a catastrophically slow
-    # XLA gather).
-    parts = [out_flat[:, h * group:(h + 1) * group, h * hd:(h + 1) * hd]
-             for h in range(kvh)]
-    return jnp.concatenate(parts, axis=1)
+    args = [layer, block_tables, context_lens, q_bd.astype(out_dtype),
+            cache.k, cache.v]
+    if cache.quantized:
+        args += [cache.k_scale, cache.v_scale]
+    out_flat = kernel(*args)
+    # Original head i sits at permuted row (i % G) * KVH + i // G, in its
+    # kv-head's column block: static slices + concat (a take_along_axis here
+    # lowers to a catastrophically slow XLA gather).
+    parts = [out_flat[:, (i % group) * kvh + i // group, None,
+                      (i // group) * hd:(i // group + 1) * hd]
+             for i in range(QH)]
+    return jnp.concatenate(parts, axis=1).astype(q.dtype)

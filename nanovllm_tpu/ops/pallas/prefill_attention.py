@@ -23,17 +23,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nanovllm_tpu.ops.attention import KVCache
+
 NEG_INF = -1e30
 N_BUF = 2
 
 
 def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref,
                     q_ref,                    # (CQ, QH, hd) VMEM
-                    k_hbm, v_hbm,             # (L, NB, bs, KVH*hd) HBM
-                    out_ref,                  # (CQ, QH, hd) VMEM
-                    k_buf, v_buf, sems,
-                    *, cq: int, bs: int, kvh: int, group: int, hd: int,
-                    scale: float):
+                    *refs,
+                    cq: int, bs: int, kvh: int, group: int, hd: int,
+                    scale: float, quantized: bool):
+    if quantized:
+        (k_hbm, v_hbm, ks_hbm, vs_hbm, out_ref,
+         k_buf, v_buf, ks_buf, vs_buf, sems) = refs
+    else:
+        k_hbm, v_hbm, out_ref, k_buf, v_buf, sems = refs
+        ks_hbm = vs_hbm = ks_buf = vs_buf = None
     c = pl.program_id(0)
     layer = layer_ref[0]
     seq = chunk_seg_ref[c]
@@ -43,15 +49,25 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
     kv_needed = jnp.minimum(ctx, pos0 + cq)
     npages = pl.cdiv(kv_needed, bs)
 
-    def dma(buf, hbm, slot, j, row):
+    def page_dmas(slot, j, do_start):
         page = tables_ref[seq, j]
-        return pltpu.make_async_copy(hbm.at[layer, page], buf.at[slot],
-                                     sems.at[row, slot])
+        copies = [
+            pltpu.make_async_copy(k_hbm.at[layer, page], k_buf.at[slot],
+                                  sems.at[0, slot]),
+            pltpu.make_async_copy(v_hbm.at[layer, page], v_buf.at[slot],
+                                  sems.at[1, slot]),
+        ]
+        if quantized:
+            copies.append(pltpu.make_async_copy(
+                ks_hbm.at[layer, page], ks_buf.at[slot], sems.at[2, slot]))
+            copies.append(pltpu.make_async_copy(
+                vs_hbm.at[layer, page], vs_buf.at[slot], sems.at[3, slot]))
+        for cp in copies:
+            (cp.start if do_start else cp.wait)()
 
     @pl.when(npages > 0)
     def _():
-        dma(k_buf, k_hbm, 0, 0, 0).start()
-        dma(v_buf, v_hbm, 0, 0, 1).start()
+        page_dmas(0, 0, True)
 
     # Token r of the chunk sits at absolute position pos0 + r.
     row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0)
@@ -66,12 +82,9 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
 
         @pl.when(j + 1 < npages)
         def _():
-            nxt = (j + 1) % N_BUF
-            dma(k_buf, k_hbm, nxt, j + 1, 0).start()
-            dma(v_buf, v_hbm, nxt, j + 1, 1).start()
+            page_dmas((j + 1) % N_BUF, j + 1, True)
 
-        dma(k_buf, k_hbm, slot, j, 0).wait()
-        dma(v_buf, v_hbm, slot, j, 1).wait()
+        page_dmas(slot, j, False)
 
         kv_pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         live = (kv_pos <= row_pos) & (kv_pos < ctx)       # (CQ, bs)
@@ -81,19 +94,28 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
             q_i = q_ref[:, i, :]                          # (CQ, hd)
             k_h = k_buf[slot, :, h * hd:(h + 1) * hd]     # (bs, hd) column slice
             v_h = v_buf[slot, :, h * hd:(h + 1) * hd]
+            if quantized:
+                k_h = k_h.astype(jnp.bfloat16)
+                v_h = v_h.astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 q_i, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale   # (CQ, bs)
+            if quantized:
+                s = s * ks_buf[slot, h:h + 1, :]              # (1, bs) bcast
             s = jnp.where(live, s, NEG_INF)
             m_new = jnp.maximum(ms[i], jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             p = jnp.where(live, p, 0.0)
             corr = jnp.exp(ms[i] - m_new)
+            # l sums UNscaled probabilities; v-scale folds into p for the
+            # V matmul only.
+            ls2.append(ls[i] * corr + jnp.sum(p, axis=-1, keepdims=True))
+            if quantized:
+                p = p * vs_buf[slot, h:h + 1, :]
             pv = jax.lax.dot_general(
                 p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (CQ, hd)
             ms2.append(m_new)
-            ls2.append(ls[i] * corr + jnp.sum(p, axis=-1, keepdims=True))
             accs2.append(accs[i] * corr + pv)
         return tuple(ms2), tuple(ls2), tuple(accs2)
 
@@ -108,28 +130,38 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
 
 
 @functools.lru_cache(maxsize=64)
-def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, interpret):
+def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, quantized,
+                  interpret):
     C = T // cq
+    in_specs = [
+        pl.BlockSpec((cq, QH, hd), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((N_BUF, bs, kvh * hd), jnp.int8 if quantized else dtype),
+        pltpu.VMEM((N_BUF, bs, kvh * hd), jnp.int8 if quantized else dtype),
+    ]
+    nsems = 2
+    if quantized:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
+                     pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch += [pltpu.VMEM((N_BUF, kvh, bs), jnp.float32),
+                    pltpu.VMEM((N_BUF, kvh, bs), jnp.float32)]
+        nsems = 4
+    scratch.append(pltpu.SemaphoreType.DMA((nsems, N_BUF)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(C,),
-        in_specs=[
-            pl.BlockSpec((cq, QH, hd), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((cq, QH, hd), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((N_BUF, bs, kvh * hd), dtype),
-            pltpu.VMEM((N_BUF, bs, kvh * hd), dtype),
-            pltpu.SemaphoreType.DMA((2, N_BUF)),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         functools.partial(_prefill_kernel, cq=cq, bs=bs, kvh=kvh, group=group,
-                          hd=hd, scale=scale),
+                          hd=hd, scale=scale, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, QH, hd), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -138,18 +170,22 @@ def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, interpret):
     )
 
 
-def ragged_prefill_attention(q, k_cache, v_cache, chunk_seg, chunk_pos,
+def ragged_prefill_attention(q, cache: KVCache, chunk_seg, chunk_pos,
                              block_tables, context_lens, layer,
                              *, cq: int, scale: float, interpret: bool = False):
     """q: (T, QH, hd), T == C * cq; chunk_seg/chunk_pos: (C,).
     Returns (T, QH, hd). The pallas_call is memoized on shapes (one Mosaic
     lowering per shape, shared across layers and steps)."""
     T, QH, hd = q.shape
-    _, _, bs, row = k_cache.shape
+    _, _, bs, row = cache.k.shape
     kvh = row // hd
     group = QH // kvh
-    kernel = _build_kernel(T, QH, hd, bs, kvh, group, cq,
-                           jnp.dtype(q.dtype), float(scale), interpret)
+    out_dtype = jnp.dtype(jnp.bfloat16) if cache.quantized else jnp.dtype(q.dtype)
+    kernel = _build_kernel(T, QH, hd, bs, kvh, group, cq, out_dtype,
+                           float(scale), cache.quantized, interpret)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
-    return kernel(layer, chunk_seg, chunk_pos, block_tables, context_lens,
-                  q, k_cache, v_cache)
+    args = [layer, chunk_seg, chunk_pos, block_tables, context_lens,
+            q.astype(out_dtype), cache.k, cache.v]
+    if cache.quantized:
+        args += [cache.k_scale, cache.v_scale]
+    return kernel(*args).astype(q.dtype)

@@ -18,9 +18,10 @@ from nanovllm_tpu.ops.sampler import sample_tokens
 from nanovllm_tpu.parallel import tp as tplib
 
 
-def build_tp_step(mesh, spec, lspec, prefill_attn=None, decode_attn=None):
-    """Returns step(params, k_cache, v_cache, input_ids, meta, temps, step_idx,
-    is_prefill) jitted under shard_map over the 'tp' axis."""
+def build_tp_step(mesh, spec, lspec, prefill_attn=None, decode_attn=None,
+                  quantized=False):
+    """Returns step(params, cache, input_ids, meta, temps, step_idx)
+    pair jitted under shard_map over the 'tp' axis."""
     from jax import shard_map
 
     if prefill_attn is None:
@@ -28,18 +29,18 @@ def build_tp_step(mesh, spec, lspec, prefill_attn=None, decode_attn=None):
     if decode_attn is None:
         decode_attn = dense.default_attn_fn
 
-    def local_step(params, k_cache, v_cache, input_ids, meta, temps, step_idx,
+    def local_step(params, cache, input_ids, meta, temps, step_idx,
                    is_prefill):
         attn_fn = prefill_attn if is_prefill else decode_attn
-        hidden, k_cache, v_cache = dense.forward(
-            lspec, params, input_ids, meta, k_cache, v_cache, attn_fn=attn_fn)
+        hidden, cache = dense.forward(
+            lspec, params, input_ids, meta, cache, attn_fn=attn_fn)
         logits = dense.compute_logits(lspec, params, hidden)
         key = jax.random.fold_in(jax.random.key(0), step_idx)
         tokens = sample_tokens(logits, temps, key)
-        return tokens, k_cache, v_cache
+        return tokens, cache
 
     pspecs = tplib.param_pspecs(spec)
-    kv = tplib.kv_cache_pspec()
+    kv = tplib.kv_cache_pspec(quantized)
     rep = P()
     meta_specs = attn_ops.AttnMeta(rep, rep, rep, rep, rep, rep, rep, rep)
 
@@ -47,13 +48,13 @@ def build_tp_step(mesh, spec, lspec, prefill_attn=None, decode_attn=None):
         return shard_map(
             partial(local_step, is_prefill=is_prefill),
             mesh=mesh,
-            in_specs=(pspecs, kv, kv, rep, meta_specs, rep, rep),
-            out_specs=(rep, kv, kv),
+            in_specs=(pspecs, kv, rep, meta_specs, rep, rep),
+            out_specs=(rep, kv),
             check_vma=False,
         )
 
-    prefill = jax.jit(make(True), donate_argnums=(1, 2))
-    decode = jax.jit(make(False), donate_argnums=(1, 2))
+    prefill = jax.jit(make(True), donate_argnums=(1,))
+    decode = jax.jit(make(False), donate_argnums=(1,))
     return prefill, decode
 
 
@@ -79,10 +80,12 @@ def run_dryrun(n_devices: int) -> None:
 
     S, maxB, bs, chunk = 4, 4, 16, 16
     nblocks = S * maxB + 1
-    kv_sharding = NamedSharding(mesh, tplib.kv_cache_pspec())
+    kv_specs = tplib.kv_cache_pspec()
     shape = (spec.num_layers, nblocks, bs, spec.num_kv_heads * spec.head_dim)
-    k_cache = jax.device_put(jnp.zeros(shape, jnp.float32), kv_sharding)
-    v_cache = jax.device_put(jnp.zeros(shape, jnp.float32), kv_sharding)
+    val_sh = NamedSharding(mesh, kv_specs.k)
+    cache = attn_ops.KVCache(
+        jax.device_put(jnp.zeros(shape, jnp.float32), val_sh),
+        jax.device_put(jnp.zeros(shape, jnp.float32), val_sh))
 
     prefill, decode = build_tp_step(mesh, spec, lspec)
 
@@ -107,8 +110,7 @@ def run_dryrun(n_devices: int) -> None:
         num_seqs=jnp.asarray(2))
     ids = jnp.asarray(np.random.default_rng(0).integers(0, 512, T, dtype=np.int32))
     temps = jnp.ones((S,), jnp.float32)
-    tokens, k_cache, v_cache = prefill(params, k_cache, v_cache, ids, meta,
-                                       temps, jnp.uint32(0))
+    tokens, cache = prefill(params, cache, ids, meta, temps, jnp.uint32(0))
     tokens.block_until_ready()
 
     # --- one decode step --------------------------------------------------
@@ -122,6 +124,5 @@ def run_dryrun(n_devices: int) -> None:
         chunk_seg=jnp.zeros(1, jnp.int32),
         num_seqs=jnp.asarray(2))
     dids = jnp.asarray(tokens[:S], dtype=jnp.int32)
-    tokens2, k_cache, v_cache = decode(params, k_cache, v_cache, dids, dmeta,
-                                       temps, jnp.uint32(1))
+    tokens2, cache = decode(params, cache, dids, dmeta, temps, jnp.uint32(1))
     tokens2.block_until_ready()

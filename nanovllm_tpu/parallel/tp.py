@@ -73,10 +73,15 @@ def param_pspecs(spec: DenseSpec) -> dict:
     }
 
 
-def kv_cache_pspec() -> P:
-    # (L, NB, bs, KVH*hd): shard the flat head-feature axis — contiguous
-    # column blocks are whole kv heads, so each shard owns its local heads
-    return P(None, None, None, TP_AXIS)
+def kv_cache_pspec(quantized: bool = False):
+    """KVCache pspecs: values (L, NB, bs, KVH*hd) shard the flat feature
+    axis (contiguous column blocks are whole kv heads); int8 scales
+    (L, NB, KVH, bs) shard the kv-head axis."""
+    from nanovllm_tpu.ops.attention import KVCache
+
+    val = P(None, None, None, TP_AXIS)
+    sc = P(None, None, TP_AXIS, None) if quantized else None
+    return KVCache(val, val, sc, sc)
 
 
 def _shard_major(arr, seg_sizes, tp: int, axis: int = -1):

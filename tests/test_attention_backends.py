@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from nanovllm_tpu.ops.attention import (
     AttnMeta,
+    KVCache,
     paged_decode_attention_jnp,
     ragged_attention_reference,
     ragged_prefill_attention_jnp,
@@ -63,7 +64,7 @@ def build_case(seed, ctx_lens, q_lens):
         last_token_idx=jnp.zeros(S, jnp.int32),
         chunk_seg=jnp.asarray(chunk_seg),
         num_seqs=jnp.asarray(len(ctx_lens)))
-    return jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache), meta
+    return jnp.asarray(q), KVCache(jnp.asarray(k_cache), jnp.asarray(v_cache)), meta
 
 
 def real_rows_for(q_lens):
@@ -83,9 +84,9 @@ def real_rows_for(q_lens):
     ((37, 50, 12, 80), (5, 17, 12, 33)),    # chunked prefill with cached prefix
 ])
 def test_chunked_prefill_matches_reference(ctx_lens, q_lens):
-    q, k_cache, v_cache, meta = build_case(0, ctx_lens, q_lens)
-    ref = ragged_attention_reference(q, k_cache, v_cache, meta, HD ** -0.5)
-    out = ragged_prefill_attention_jnp(q, k_cache, v_cache, meta, HD ** -0.5, CHUNK)
+    q, cache, meta = build_case(0, ctx_lens, q_lens)
+    ref = ragged_attention_reference(q, cache, meta, HD ** -0.5)
+    out = ragged_prefill_attention_jnp(q, cache, meta, HD ** -0.5, CHUNK)
     keep = real_rows_for(q_lens)
     np.testing.assert_allclose(np.asarray(out)[keep], np.asarray(ref)[keep],
                                rtol=1e-5, atol=1e-5)
@@ -115,15 +116,16 @@ def test_blockwise_decode_matches_reference():
         last_token_idx=jnp.arange(S, dtype=jnp.int32),
         chunk_seg=jnp.zeros(1, jnp.int32),
         num_seqs=jnp.asarray(S))
-    ref = ragged_attention_reference(q, k_cache, v_cache, meta, HD ** -0.5)
-    out = paged_decode_attention_jnp(q, k_cache, v_cache, meta.block_tables,
+    cache = KVCache(k_cache, v_cache)
+    ref = ragged_attention_reference(q, cache, meta, HD ** -0.5)
+    out = paged_decode_attention_jnp(q, cache, meta.block_tables,
                                      meta.context_lens, HD ** -0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
-def _layered(cache):
-    """Wrap a per-layer cache as a 2-layer stack with data in layer 1."""
-    return jnp.stack([jnp.zeros_like(cache), cache])
+def _layered(arr):
+    """Wrap a per-layer array as a 2-layer stack with data in layer 1."""
+    return jnp.stack([jnp.zeros_like(arr), arr])
 
 
 def test_pallas_decode_kernel_matches_reference():
@@ -150,9 +152,9 @@ def test_pallas_decode_kernel_matches_reference():
         last_token_idx=jnp.arange(S, dtype=jnp.int32),
         chunk_seg=jnp.zeros(1, jnp.int32),
         num_seqs=jnp.asarray(S))
-    ref = ragged_attention_reference(q, _layered(k_cache), _layered(v_cache),
-                                     meta, HD ** -0.5, layer=1)
-    out = paged_decode_attention(q, _layered(k_cache), _layered(v_cache),
+    lcache = KVCache(_layered(k_cache), _layered(v_cache))
+    ref = ragged_attention_reference(q, lcache, meta, HD ** -0.5, layer=1)
+    out = paged_decode_attention(q, lcache,
                                  meta.block_tables, meta.context_lens,
                                  1, scale=HD ** -0.5, interpret=True)
     out = np.asarray(out)
@@ -165,7 +167,7 @@ def test_pallas_prefill_kernel_matches_reference():
 
     ctx_lens = (37, 50, 12, 80)
     q_lens = (5, 17, 12, 33)
-    q, k_cache, v_cache, meta = build_case(13, ctx_lens, q_lens)
+    q, cache, meta = build_case(13, ctx_lens, q_lens)
     # Kernel contract: positions consecutive across each aligned span
     # (prepare_batch zeroes pad-lane positions; the kernel derives them from
     # chunk_pos + row index instead, so rebuild them here).
@@ -177,10 +179,10 @@ def test_pallas_prefill_kernel_matches_reference():
         t += a
     C = len(pos) // CHUNK
     chunk_pos = jnp.asarray(pos.reshape(C, CHUNK)[:, 0])
-    ref = ragged_attention_reference(q, _layered(k_cache), _layered(v_cache),
-                                     meta, HD ** -0.5, layer=1)
+    lcache = KVCache(_layered(cache.k), _layered(cache.v))
+    ref = ragged_attention_reference(q, lcache, meta, HD ** -0.5, layer=1)
     out = ragged_prefill_attention(
-        q, _layered(k_cache), _layered(v_cache), meta.chunk_seg, chunk_pos,
+        q, lcache, meta.chunk_seg, chunk_pos,
         meta.block_tables, meta.context_lens, 1, cq=CHUNK, scale=HD ** -0.5,
         interpret=True)
     keep = real_rows_for(q_lens)
@@ -190,14 +192,14 @@ def test_pallas_prefill_kernel_matches_reference():
 
 def test_write_kv_roundtrip():
     rng = np.random.default_rng(5)
-    k_cache = jnp.zeros((8, BS, KVH * HD), jnp.float32)
-    v_cache = jnp.zeros_like(k_cache)
+    cache = KVCache(jnp.zeros((8, BS, KVH * HD), jnp.float32),
+                    jnp.zeros((8, BS, KVH * HD), jnp.float32))
     T = 10
     slots = jnp.asarray(rng.choice(8 * BS, size=T, replace=False).astype(np.int32))
     k = jnp.asarray(rng.standard_normal((T, KVH, HD), dtype=np.float32))
     v = jnp.asarray(rng.standard_normal((T, KVH, HD), dtype=np.float32))
-    k_cache, v_cache = write_kv(k_cache, v_cache, k, v, slots)
-    flat_k = np.asarray(k_cache).reshape(8 * BS, KVH, HD)
-    flat_v = np.asarray(v_cache).reshape(8 * BS, KVH, HD)
+    cache = write_kv(cache, k, v, slots)
+    flat_k = np.asarray(cache.k).reshape(8 * BS, KVH, HD)
+    flat_v = np.asarray(cache.v).reshape(8 * BS, KVH, HD)
     np.testing.assert_allclose(flat_k[np.asarray(slots)], np.asarray(k))
     np.testing.assert_allclose(flat_v[np.asarray(slots)], np.asarray(v))

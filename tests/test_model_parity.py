@@ -17,7 +17,7 @@ from nanovllm_tpu.engine.batch import prepare_batch
 from nanovllm_tpu.engine.block_manager import BlockManager
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models import dense
-from nanovllm_tpu.ops.attention import AttnMeta
+from nanovllm_tpu.ops.attention import AttnMeta, KVCache
 from nanovllm_tpu.sampling_params import SamplingParams
 from nanovllm_tpu.utils.loader import load_dense_params
 
@@ -36,10 +36,11 @@ def run_engine_logits(spec, params, prompts, n_decode=3, hf_next_tokens=None):
     for s in seqs:
         bm.allocate(s)
 
-    k_cache = jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32)
-    v_cache = jnp.zeros_like(k_cache)
+    cache = KVCache(
+        jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32),
+        jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32))
 
-    def step(batch, k_cache, v_cache):
+    def step(batch, cache):
         meta = AttnMeta(
             seg_ids=jnp.asarray(batch.seg_ids),
             positions=jnp.asarray(batch.positions),
@@ -50,15 +51,15 @@ def run_engine_logits(spec, params, prompts, n_decode=3, hf_next_tokens=None):
             chunk_seg=jnp.asarray(batch.chunk_seg),
             num_seqs=jnp.asarray(batch.num_seqs),
         )
-        hidden, k_cache, v_cache = dense.forward(
-            spec, params, jnp.asarray(batch.input_ids), meta, k_cache, v_cache)
+        hidden, cache = dense.forward(
+            spec, params, jnp.asarray(batch.input_ids), meta, cache)
         logits = dense.compute_logits(spec, params, hidden)
-        return np.asarray(logits), k_cache, v_cache
+        return np.asarray(logits), cache
 
     out = []
     batch = prepare_batch(seqs, True, block_size=BLOCK, dummy_slot=(NBLOCKS - 1) * BLOCK,
                           max_num_seqs=S, blocks_per_seq=MAXB, token_buckets=BUCKETS, chunk=16)
-    logits, k_cache, v_cache = step(batch, k_cache, v_cache)
+    logits, cache = step(batch, cache)
     out.append(logits[: len(seqs)])
 
     for d in range(n_decode):
@@ -67,7 +68,7 @@ def run_engine_logits(spec, params, prompts, n_decode=3, hf_next_tokens=None):
             bm.append_slot(s)
         batch = prepare_batch(seqs, False, block_size=BLOCK, dummy_slot=(NBLOCKS - 1) * BLOCK,
                               max_num_seqs=S, blocks_per_seq=MAXB, token_buckets=BUCKETS, chunk=16)
-        logits, k_cache, v_cache = step(batch, k_cache, v_cache)
+        logits, cache = step(batch, cache)
         out.append(logits[: len(seqs)])
     return out
 
@@ -169,10 +170,11 @@ def test_prefix_cache_reuse_matches_fresh_compute():
     hf_steps, _ = hf_reference_logits(model, [p2], 0, rng)
 
     bm = BlockManager(NBLOCKS - 1, BLOCK)
-    k_cache = jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32)
-    v_cache = jnp.zeros_like(k_cache)
+    cache = KVCache(
+        jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32),
+        jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32))
 
-    def run_prefill(seq, k_cache, v_cache):
+    def run_prefill(seq, cache):
         batch = prepare_batch([seq], True, block_size=BLOCK,
                               dummy_slot=(NBLOCKS - 1) * BLOCK, max_num_seqs=S,
                               blocks_per_seq=MAXB, token_buckets=BUCKETS, chunk=16)
@@ -181,17 +183,17 @@ def test_prefix_cache_reuse_matches_fresh_compute():
                            batch.block_tables, batch.context_lens,
                            batch.last_token_idx, batch.chunk_seg,
                            batch.num_seqs)])
-        hidden, k_cache, v_cache = dense.forward(
-            spec, params, jnp.asarray(batch.input_ids), meta, k_cache, v_cache)
-        return np.asarray(dense.compute_logits(spec, params, hidden)), k_cache, v_cache
+        hidden, cache = dense.forward(
+            spec, params, jnp.asarray(batch.input_ids), meta, cache)
+        return np.asarray(dense.compute_logits(spec, params, hidden)), cache
 
     s1 = Sequence(p1, SamplingParams(), block_size=BLOCK)
     bm.allocate(s1)
-    _, k_cache, v_cache = run_prefill(s1, k_cache, v_cache)
+    _, cache = run_prefill(s1, cache)
 
     s2 = Sequence(p2, SamplingParams(), block_size=BLOCK)
     bm.allocate(s2)
     assert s2.num_cached_tokens == BLOCK  # the shared block was a hit
-    logits2, k_cache, v_cache = run_prefill(s2, k_cache, v_cache)
+    logits2, cache = run_prefill(s2, cache)
 
     np.testing.assert_allclose(logits2[0], hf_steps[0][0], rtol=2e-4, atol=2e-4)

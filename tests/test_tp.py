@@ -12,6 +12,7 @@ from jax.sharding import NamedSharding
 
 from nanovllm_tpu.models import dense
 from nanovllm_tpu.ops import attention as attn_ops
+from nanovllm_tpu.ops.attention import KVCache
 from nanovllm_tpu.parallel import tp as tplib
 from nanovllm_tpu.parallel.dryrun import build_tp_step, run_dryrun
 
@@ -72,9 +73,8 @@ def test_tp8_matches_single_device(setup):
     shape = (spec.num_layers, nblocks, bs, spec.num_kv_heads * spec.head_dim)
 
     # single-device reference
-    k1 = jnp.zeros(shape, jnp.float32)
-    v1 = jnp.zeros(shape, jnp.float32)
-    hidden, k1, v1 = dense.forward(spec, params, ids, meta, k1, v1)
+    c1 = KVCache(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    hidden, c1 = dense.forward(spec, params, ids, meta, c1)
     ref_logits = dense.compute_logits(spec, params, hidden)
 
     # tp=8
@@ -82,20 +82,20 @@ def test_tp8_matches_single_device(setup):
     lspec = tplib.local_spec(spec, TP)
     tparams = tplib.reorder_params_for_tp(jax.tree.map(np.asarray, params), spec, TP)
     tparams = tplib.shard_params(tparams, spec, mesh)
-    kvs = NamedSharding(mesh, tplib.kv_cache_pspec())
-    k8 = jax.device_put(jnp.zeros(shape, jnp.float32), kvs)
-    v8 = jax.device_put(jnp.zeros(shape, jnp.float32), kvs)
+    kvs = NamedSharding(mesh, tplib.kv_cache_pspec().k)
+    c8 = KVCache(jax.device_put(jnp.zeros(shape, jnp.float32), kvs),
+                 jax.device_put(jnp.zeros(shape, jnp.float32), kvs))
 
     prefill, _ = build_tp_step(mesh, spec, lspec)
     temps = jnp.zeros((S,), jnp.float32)  # greedy
-    tokens, k8, v8 = prefill(tparams, k8, v8, ids, meta, temps, jnp.uint32(0))
+    tokens, c8 = prefill(tparams, c8, ids, meta, temps, jnp.uint32(0))
 
     # greedy tokens must match the argmax of the single-device logits
     np.testing.assert_array_equal(
         np.asarray(tokens)[:2], np.asarray(ref_logits.argmax(-1))[:2])
     # KV caches must agree exactly (sharded writes == dense writes)
-    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(v8), np.asarray(v1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c8.k), np.asarray(c1.k), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c8.v), np.asarray(c1.v), rtol=1e-5, atol=1e-5)
 
 
 def test_dryrun_smoke():
