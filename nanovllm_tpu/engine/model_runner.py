@@ -64,8 +64,15 @@ class ModelRunner:
         t0 = time.perf_counter()
         self.params = self.adapter.load_params(
             config.model_path, self.dtype, jax.random.key(config.seed))
+        if config.quantization == "int8":
+            from nanovllm_tpu.ops.quant import quantize_dense_params
+
+            self.params = quantize_dense_params(self.params)
+        elif config.quantization:
+            raise ValueError(f"unknown quantization {config.quantization!r}")
         self.params = jax.block_until_ready(self.params)
-        logger.info("weights ready in %.1fs", time.perf_counter() - t0)
+        logger.info("weights ready in %.1fs (quant=%s)",
+                    time.perf_counter() - t0, config.quantization)
 
         self.num_kvcache_blocks = self._size_kv_cache()
         shape = (self.adapter.num_layers, self.num_kvcache_blocks,

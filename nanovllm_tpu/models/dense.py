@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from nanovllm_tpu.ops import attention as attn_ops
 from nanovllm_tpu.ops.activation import silu_and_mul
 from nanovllm_tpu.ops.norms import add_rms_norm, rms_norm
+from nanovllm_tpu.ops.quant import quant_matmul
 from nanovllm_tpu.ops.rope import apply_rope
 
 
@@ -91,7 +92,7 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     T = h.shape[0]
     normed, residual = add_rms_norm(h, residual, lp["ln1"], spec.rms_norm_eps)
 
-    qkv = normed @ lp["wqkv"]
+    qkv = quant_matmul(normed, lp["wqkv"], lp.get("wqkv_scale"))
     if spec.qkv_bias:
         qkv = qkv + lp["bqkv"]
     q, k, v = _split_qkv(qkv, spec)
@@ -106,7 +107,7 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
 
     cache = attn_ops.write_kv(cache, k, v, meta.slot_mapping, layer=layer_idx)
     o = attn_fn(q, cache, meta, spec.head_dim ** -0.5, layer_idx)
-    o = o.reshape(T, spec.q_size) @ lp["wo"]
+    o = quant_matmul(o.reshape(T, spec.q_size), lp["wo"], lp.get("wo_scale"))
     if spec.tp_axis:
         o = jax.lax.psum(o, spec.tp_axis)
     if spec.o_bias:
@@ -114,10 +115,10 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     o = o * spec.residual_scale
 
     normed, residual = add_rms_norm(o, residual, lp["ln2"], spec.rms_norm_eps)
-    gu = normed @ lp["wgu"]
+    gu = quant_matmul(normed, lp["wgu"], lp.get("wgu_scale"))
     if spec.mlp_bias:
         gu = gu + lp["bgu"]
-    mlp_out = silu_and_mul(gu) @ lp["wdown"]
+    mlp_out = quant_matmul(silu_and_mul(gu), lp["wdown"], lp.get("wdown_scale"))
     if spec.tp_axis:
         mlp_out = jax.lax.psum(mlp_out, spec.tp_axis)
     if spec.mlp_bias:
@@ -160,7 +161,8 @@ def compute_logits(spec: DenseSpec, params, hidden):
     lm_head is vocab-sharded; local logits are all-gathered so every shard
     samples the identical token (the reference gathers to rank 0 instead,
     embed_head.py:61-66 — full replication keeps the step SPMD)."""
-    logits = hidden @ params["lm_head"]
+    logits = quant_matmul(hidden, params["lm_head"],
+                          params.get("lm_head_scale"))
     if spec.tp_axis:
         logits = jax.lax.all_gather(logits, spec.tp_axis, axis=1, tiled=True)
     return logits.astype(jnp.float32) * spec.logit_scale

@@ -19,7 +19,7 @@ from nanovllm_tpu.parallel import tp as tplib
 
 
 def build_tp_step(mesh, spec, lspec, prefill_attn=None, decode_attn=None,
-                  quantized=False):
+                  quantized=False, pspecs=None):
     """Returns step(params, cache, input_ids, meta, temps, step_idx)
     pair jitted under shard_map over the 'tp' axis."""
     from jax import shard_map
@@ -39,7 +39,8 @@ def build_tp_step(mesh, spec, lspec, prefill_attn=None, decode_attn=None,
         tokens = sample_tokens(logits, temps, key)
         return tokens, cache
 
-    pspecs = tplib.param_pspecs(spec)
+    if pspecs is None:
+        pspecs = tplib.param_pspecs(spec)
     kv = tplib.kv_cache_pspec(quantized)
     rep = P()
     meta_specs = attn_ops.AttnMeta(rep, rep, rep, rep, rep, rep, rep, rep)
@@ -76,6 +77,7 @@ def run_dryrun(n_devices: int) -> None:
     params = dense.init_params(spec, jax.random.key(0), dtype=jnp.float32)
     params = tplib.reorder_params_for_tp(
         jax.tree.map(np.asarray, params), spec, tp)
+    pspecs = tplib.param_pspecs(spec, params)
     params = tplib.shard_params(params, spec, mesh)
 
     S, maxB, bs, chunk = 4, 4, 16, 16
@@ -87,7 +89,7 @@ def run_dryrun(n_devices: int) -> None:
         jax.device_put(jnp.zeros(shape, jnp.float32), val_sh),
         jax.device_put(jnp.zeros(shape, jnp.float32), val_sh))
 
-    prefill, decode = build_tp_step(mesh, spec, lspec)
+    prefill, decode = build_tp_step(mesh, spec, lspec, pspecs=pspecs)
 
     # --- one prefill step: 2 seqs x 32 tokens -----------------------------
     T = 64

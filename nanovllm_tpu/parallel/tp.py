@@ -49,28 +49,46 @@ def local_spec(spec: DenseSpec, tp: int) -> DenseSpec:
     )
 
 
-def param_pspecs(spec: DenseSpec) -> dict:
-    """PartitionSpecs for the dense params pytree (shard-major fused layout)."""
+def prune_to(params: dict, pspecs: dict) -> dict:
+    """Restrict a pspec dict to the keys present in `params` (quantization
+    scales etc. are optional entries)."""
+    out = {}
+    for key, value in params.items():
+        out[key] = (prune_to(value, pspecs[key]) if isinstance(value, dict)
+                    else pspecs[key])
+    return out
+
+
+def param_pspecs(spec: DenseSpec, params: dict | None = None) -> dict:
+    """PartitionSpecs for the dense params pytree (shard-major fused layout).
+    Pass `params` to prune optional entries to the actual structure."""
     layers = {
         "ln1": P(), "ln2": P(),
         "wqkv": P(None, None, TP_AXIS),
         "wo": P(None, TP_AXIS, None),
         "wgu": P(None, None, TP_AXIS),
         "wdown": P(None, TP_AXIS, None),
+        # int8 per-out-channel scales follow their weight's output axis
+        "wqkv_scale": P(None, TP_AXIS),
+        "wgu_scale": P(None, TP_AXIS),
+        "wo_scale": P(),
+        "wdown_scale": P(),
     }
     if spec.qkv_bias:
         layers["bqkv"] = P(None, TP_AXIS)
     if spec.qk_norm:
         layers["q_norm"] = P()
         layers["k_norm"] = P()
-    return {
+    pspecs = {
         "embed": P(),
         "layers": layers,
         "final_ln": P(),
         "lm_head": P(None, TP_AXIS),
+        "lm_head_scale": P(TP_AXIS),
         "rope_cos": P(),
         "rope_sin": P(),
     }
+    return prune_to(params, pspecs) if params is not None else pspecs
 
 
 def kv_cache_pspec(quantized: bool = False):
@@ -108,11 +126,12 @@ def reorder_params_for_tp(params: dict, spec: DenseSpec, tp: int) -> dict:
     out = dict(params)
     layers = dict(params["layers"])
     qkv_segs = (spec.q_size, spec.kv_size, spec.kv_size)
-    layers["wqkv"] = _shard_major(np.asarray(layers["wqkv"]), qkv_segs, tp)
-    if "bqkv" in layers:
-        layers["bqkv"] = _shard_major(np.asarray(layers["bqkv"]), qkv_segs, tp)
     gu_segs = (spec.intermediate_size, spec.intermediate_size)
-    layers["wgu"] = _shard_major(np.asarray(layers["wgu"]), gu_segs, tp)
+    for name, segs in (("wqkv", qkv_segs), ("bqkv", qkv_segs),
+                       ("wqkv_scale", qkv_segs), ("wgu", gu_segs),
+                       ("wgu_scale", gu_segs)):
+        if name in layers:
+            layers[name] = _shard_major(np.asarray(layers[name]), segs, tp)
     out["layers"] = layers
     return out
 
@@ -120,8 +139,14 @@ def reorder_params_for_tp(params: dict, spec: DenseSpec, tp: int) -> dict:
 def shard_params(params: dict, spec: DenseSpec, mesh: Mesh) -> dict:
     pspecs = param_pspecs(spec)
 
-    def place(p, ps):
-        return jax.device_put(p, NamedSharding(mesh, ps))
+    def walk(tree, specs):
+        out = {}
+        for key, value in tree.items():
+            if isinstance(value, dict):
+                out[key] = walk(value, specs[key])
+            else:
+                out[key] = jax.device_put(
+                    value, NamedSharding(mesh, specs[key]))
+        return out
 
-    return jax.tree.map(place, params, pspecs,
-                        is_leaf=lambda x: isinstance(x, P))
+    return walk(params, pspecs)

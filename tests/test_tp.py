@@ -81,12 +81,13 @@ def test_tp8_matches_single_device(setup):
     mesh = tplib.make_mesh(tp=TP)
     lspec = tplib.local_spec(spec, TP)
     tparams = tplib.reorder_params_for_tp(jax.tree.map(np.asarray, params), spec, TP)
+    pspecs = tplib.param_pspecs(spec, tparams)
     tparams = tplib.shard_params(tparams, spec, mesh)
     kvs = NamedSharding(mesh, tplib.kv_cache_pspec().k)
     c8 = KVCache(jax.device_put(jnp.zeros(shape, jnp.float32), kvs),
                  jax.device_put(jnp.zeros(shape, jnp.float32), kvs))
 
-    prefill, _ = build_tp_step(mesh, spec, lspec)
+    prefill, _ = build_tp_step(mesh, spec, lspec, pspecs=pspecs)
     temps = jnp.zeros((S,), jnp.float32)  # greedy
     tokens, c8 = prefill(tparams, c8, ids, meta, temps, jnp.uint32(0))
 
