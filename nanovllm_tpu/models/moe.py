@@ -1,0 +1,221 @@
+"""Qwen3-MoE: sparse mixture-of-experts decoder, functional style.
+
+Parity target: reference nanovllm/models/qwen3_moe.py — routing semantics
+(softmax -> top-k -> optional renormalize, qwen3_moe.py:151-161) and the
+dense-attention skeleton. The reference dispatches with a *sequential python
+loop over hit experts* (qwen3_moe.py:163-186), which its own graph mode
+cannot even trace (README.md:17); here dispatch is sort-by-expert +
+`jax.lax.ragged_dot` (XLA's grouped matmul, MXU-tiled), fully jittable.
+
+Expert parallelism: expert-stacked weights shard on the expert axis; each
+shard runs ragged_dot with `group_offset` over its local expert range and
+contributions combine with a psum — expert parallelism without an
+all-to-all (activations replicated, the right trade at inference batch
+sizes on ICI).
+
+Restriction: layers must be uniformly sparse (Qwen3-30B-A3B style,
+`mlp_only_layers == []` and `decoder_sparse_step == 1`) so the decoder runs
+as one lax.scan; dense/sparse interleaves raise at spec build.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nanovllm_tpu.models import dense
+from nanovllm_tpu.ops import attention as attn_ops
+from nanovllm_tpu.ops.activation import silu_and_mul
+from nanovllm_tpu.ops.norms import add_rms_norm, rms_norm
+from nanovllm_tpu.ops.rope import apply_rope
+
+
+@dataclass(frozen=True)
+class MoESpec:
+    base: dense.DenseSpec          # attention/backbone geometry
+    num_experts: int = 128
+    top_k: int = 8
+    moe_intermediate_size: int = 768
+    norm_topk_prob: bool = True
+    # expert-parallel mesh axis (set inside shard_map); base.tp_axis may be
+    # set independently for the attention/dense parts
+    ep_axis: Optional[str] = None
+    ep_offset: int = 0             # first expert owned by this shard
+    num_local_experts: int = -1    # experts per shard (-1 = all)
+
+    @property
+    def local_experts(self) -> int:
+        return self.num_local_experts if self.num_local_experts > 0 \
+            else self.num_experts
+
+
+def moe_block(spec: MoESpec, lp, x):
+    """Sparse MLP. x: (T, D) -> (T, D).
+
+    lp: router (D, E_global), w_gate_up (E_local, D, 2*I), w_down
+    (E_local, I, D)."""
+    T, D = x.shape
+    K = spec.top_k
+    logits = (x @ lp["router"]).astype(jnp.float32)      # (T, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    weights, idx = jax.lax.top_k(probs, K)               # (T, K)
+    if spec.norm_topk_prob:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+    flat_expert = idx.reshape(-1)                        # (T*K,)
+    order = jnp.argsort(flat_expert)
+    token_of = order // K
+    x_sorted = x[token_of]                               # (T*K, D)
+    counts = jnp.zeros((spec.num_experts,), jnp.int32) \
+        .at[flat_expert].add(1)                          # (E,)
+
+    sharded = spec.ep_axis is not None or spec.num_local_experts > 0
+
+    def local_gs(start):
+        """Group sizes seen by a shard owning experts [start, start+E_local):
+        pad with two absorber groups backed by zero experts, so rows routed
+        outside the shard multiply into zeros (this jax version's ragged_dot
+        does not support a traced group_offset)."""
+        e_local = spec.local_experts
+        cum = jnp.cumsum(counts)
+        before = jnp.where(start > 0, cum[start - 1], 0)
+        inside = cum[start + e_local - 1] - before
+        after = flat_expert.shape[0] - before - inside
+        local = jax.lax.dynamic_slice(counts, (start,), (e_local,))
+        return jnp.concatenate([before[None], local, after[None]]).astype(jnp.int32)
+
+    def pad_experts(w):
+        zero = jnp.zeros((1,) + w.shape[1:], w.dtype)
+        return jnp.concatenate([zero, w, zero], axis=0)
+
+    if sharded:
+        if spec.ep_axis is not None:
+            start = jax.lax.axis_index(spec.ep_axis) * spec.local_experts
+        else:
+            start = jnp.asarray(spec.ep_offset, jnp.int32)
+        gs = local_gs(start)
+        w_gu, w_dn = pad_experts(lp["w_gate_up"]), pad_experts(lp["w_down"])
+    else:
+        gs = counts
+        w_gu, w_dn = lp["w_gate_up"], lp["w_down"]
+
+    h = jax.lax.ragged_dot(x_sorted, w_gu, gs,
+                           preferred_element_type=jnp.float32)
+    h = silu_and_mul(h.astype(x.dtype))
+    y = jax.lax.ragged_dot(h, w_dn, gs,
+                           preferred_element_type=jnp.float32)  # (T*K, D)
+
+    w_sorted = weights.reshape(-1)[order].astype(jnp.float32)
+    out = jnp.zeros((T, D), jnp.float32).at[token_of].add(y * w_sorted[:, None])
+    if spec.ep_axis is not None:
+        out = jax.lax.psum(out, spec.ep_axis)
+    return out.astype(x.dtype)
+
+
+def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
+                  meta, attn_fn):
+    b = spec.base
+    T = h.shape[0]
+    normed, residual = add_rms_norm(h, residual, lp["ln1"], b.rms_norm_eps)
+    qkv = normed @ lp["wqkv"]
+    q, k, v = dense._split_qkv(qkv, b)
+    q = q.reshape(T, b.num_q_heads, b.head_dim)
+    k = k.reshape(T, b.num_kv_heads, b.head_dim)
+    v = v.reshape(T, b.num_kv_heads, b.head_dim)
+    if b.qk_norm:
+        q = rms_norm(q, lp["q_norm"], b.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], b.rms_norm_eps)
+    q = apply_rope(q, cos, sin, meta.positions)
+    k = apply_rope(k, cos, sin, meta.positions)
+    cache = attn_ops.write_kv(cache, k, v, meta.slot_mapping, layer=layer_idx)
+    o = attn_fn(q, cache, meta, b.head_dim ** -0.5, layer_idx)
+    o = o.reshape(T, b.q_size) @ lp["wo"]
+    if b.tp_axis:
+        o = jax.lax.psum(o, b.tp_axis)
+
+    normed, residual = add_rms_norm(o, residual, lp["ln2"], b.rms_norm_eps)
+    mlp_out = moe_block(spec, lp, normed)
+    return mlp_out, residual, cache
+
+
+def forward(spec: MoESpec, params, input_ids, meta, cache, attn_fn=None):
+    if attn_fn is None:
+        attn_fn = dense.default_attn_fn
+    b = spec.base
+    h = params["embed"][input_ids]
+    residual = jnp.zeros_like(h)
+    cos, sin = params["rope_cos"], params["rope_sin"]
+
+    def body(carry, xs):
+        h, residual, cache = carry
+        lp, idx = xs
+        h, residual, cache = decoder_layer(
+            spec, lp, h, residual, cos, sin, cache, idx, meta, attn_fn)
+        return (h, residual, cache), None
+
+    idxs = jnp.arange(b.num_layers, dtype=jnp.int32)
+    (h, residual, cache), _ = jax.lax.scan(
+        body, (h, residual, cache), (params["layers"], idxs))
+    final = h + residual
+    selected = final[meta.last_token_idx]
+    selected = rms_norm(selected, params["final_ln"], b.rms_norm_eps)
+    return selected, cache
+
+
+def compute_logits(spec: MoESpec, params, hidden):
+    return dense.compute_logits(spec.base, params, hidden)
+
+
+def spec_from_hf(cfg, max_model_len=None) -> MoESpec:
+    base = dense.spec_from_hf(cfg, max_model_len=max_model_len)
+    if list(getattr(cfg, "mlp_only_layers", []) or []) or \
+            getattr(cfg, "decoder_sparse_step", 1) != 1:
+        raise NotImplementedError(
+            "dense/sparse layer interleaves are not supported yet "
+            "(mlp_only_layers / decoder_sparse_step)")
+    return MoESpec(
+        base=base,
+        num_experts=cfg.num_experts,
+        top_k=cfg.num_experts_per_tok,
+        moe_intermediate_size=cfg.moe_intermediate_size,
+        norm_topk_prob=bool(getattr(cfg, "norm_topk_prob", False)),
+    )
+
+
+def init_params(spec: MoESpec, key, dtype=jnp.bfloat16, rope_scaling=None):
+    from nanovllm_tpu.ops.rope import rope_table
+
+    b = spec.base
+    ks = jax.random.split(key, 10)
+    D, L, E, I = b.hidden_size, b.num_layers, spec.num_experts, \
+        spec.moe_intermediate_size
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    layers = {
+        "ln1": jnp.ones((L, D), dtype),
+        "ln2": jnp.ones((L, D), dtype),
+        "wqkv": rnd(ks[0], (L, D, b.qkv_size)),
+        "wo": rnd(ks[1], (L, b.q_size, D)),
+        "router": rnd(ks[2], (L, D, E)),
+        "w_gate_up": rnd(ks[3], (L, E, D, 2 * I)),
+        "w_down": rnd(ks[4], (L, E, I, D)),
+    }
+    if b.qk_norm:
+        layers["q_norm"] = jnp.ones((L, b.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, b.head_dim), dtype)
+    embed = rnd(ks[5], (b.vocab_size, D))
+    cos, sin = rope_table(b.head_dim, b.max_position_embeddings, b.rope_theta,
+                          rope_scaling)
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_ln": jnp.ones((D,), dtype),
+        "lm_head": embed.T if b.tie_word_embeddings else rnd(ks[6], (D, b.vocab_size)),
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }

@@ -83,8 +83,57 @@ class DenseAdapter:
         return self.spec.head_dim
 
 
+class MoEAdapter:
+    """Qwen3-MoE family (models/moe.py)."""
+
+    def __init__(self, config):
+        from nanovllm_tpu.models import moe
+
+        hf = config.text_config
+        self.hf_config = hf
+        self.spec = moe.spec_from_hf(hf, max_model_len=config.max_model_len)
+        self.rope_scaling = DenseAdapter._resolve_rope_scaling(
+            hf, config.max_model_len)
+
+    def load_params(self, model_path, dtype, rng_key, shard_fn=None):
+        from nanovllm_tpu.models import moe
+
+        if model_path:
+            from nanovllm_tpu.utils.loader import load_moe_params
+
+            return load_moe_params(self.spec, model_path, dtype=dtype,
+                                   rope_scaling=self.rope_scaling,
+                                   shard_fn=shard_fn)
+        return moe.init_params(self.spec, rng_key, dtype=dtype,
+                               rope_scaling=self.rope_scaling)
+
+    def forward(self, params, input_ids, meta, cache, attn_fn):
+        from nanovllm_tpu.models import moe
+
+        return moe.forward(self.spec, params, input_ids, meta, cache,
+                           attn_fn=attn_fn)
+
+    def compute_logits(self, params, hidden):
+        from nanovllm_tpu.models import moe
+
+        return moe.compute_logits(self.spec, params, hidden)
+
+    @property
+    def num_layers(self):
+        return self.spec.base.num_layers
+
+    @property
+    def num_kv_heads(self):
+        return self.spec.base.num_kv_heads
+
+    @property
+    def head_dim(self):
+        return self.spec.base.head_dim
+
+
 ADAPTERS = {
     "Qwen3ForCausalLM": DenseAdapter,
+    "Qwen3MoeForCausalLM": MoEAdapter,
     "Qwen2ForCausalLM": DenseAdapter,
     "LlamaForCausalLM": DenseAdapter,
     "MiniCPMForCausalLM": DenseAdapter,

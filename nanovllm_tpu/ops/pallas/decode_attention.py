@@ -136,6 +136,10 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         l = l * corr + jnp.sum(p_, axis=-1, keepdims=True)
         if quantized:
             p_ = p_ * scale_mat(vs_buf, slot)
+        # Rows past the context come from never-DMAed buffer slots; zero them
+        # so 0 * garbage (possibly NaN) cannot poison the accumulator.
+        live_rows = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) < rem
+        v_flat = jnp.where(live_rows, v_flat, jnp.zeros((), v_flat.dtype))
         pv = jax.lax.dot_general(
             p_.astype(v_flat.dtype), v_flat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (QH, KVH*hd)

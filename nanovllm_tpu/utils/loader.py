@@ -146,3 +146,112 @@ def load_dense_params(
                           spec.rope_theta, rope_scaling)
     params["rope_cos"], params["rope_sin"] = cos, sin
     return params
+
+
+def load_moe_params(
+    spec,  # MoESpec
+    source,
+    dtype=jnp.bfloat16,
+    rope_scaling=None,
+    shard_fn=None,
+):
+    """Build the params pytree for models/moe.py: dense attention weights
+    plus router (D, E) and expert-stacked w_gate_up (E, D, 2I) / w_down
+    (E, I, D) per layer (the reference loads experts as separate TP-sharded
+    MLPs, qwen3_moe.py:96-122)."""
+    b = spec.base
+    D, L, E, I = b.hidden_size, b.num_layers, spec.num_experts, \
+        spec.moe_intermediate_size
+
+    def buf(shape):
+        return np.zeros(shape, dtype=np.float32)
+
+    layers = {
+        "ln1": buf((L, D)),
+        "ln2": buf((L, D)),
+        "wqkv": buf((L, D, b.qkv_size)),
+        "wo": buf((L, b.q_size, D)),
+        "router": buf((L, D, E)),
+        "w_gate_up": buf((L, E, D, 2 * I)),
+        "w_down": buf((L, E, I, D)),
+    }
+    if b.qk_norm:
+        layers["q_norm"] = buf((L, b.head_dim))
+        layers["k_norm"] = buf((L, b.head_dim))
+    top = {
+        "embed": buf((b.vocab_size, D)),
+        "final_ln": buf((D,)),
+        "lm_head": None if b.tie_word_embeddings else buf((D, b.vocab_size)),
+    }
+
+    qs, kssz = b.q_size, b.kv_size
+    col = {
+        "self_attn.q_proj.weight": ("wqkv", slice(0, qs), True),
+        "self_attn.k_proj.weight": ("wqkv", slice(qs, qs + kssz), True),
+        "self_attn.v_proj.weight": ("wqkv", slice(qs + kssz, qs + 2 * kssz), True),
+        "self_attn.o_proj.weight": ("wo", slice(None), True),
+        "self_attn.q_norm.weight": ("q_norm", slice(None), False),
+        "self_attn.k_norm.weight": ("k_norm", slice(None), False),
+        "input_layernorm.weight": ("ln1", slice(None), False),
+        "post_attention_layernorm.weight": ("ln2", slice(None), False),
+        "mlp.gate.weight": ("router", slice(None), True),
+    }
+
+    it = _iter_safetensors(source) if isinstance(source, str) else _iter_state_dict(source)
+    for name, tensor in it:
+        tensor = np.asarray(tensor, dtype=np.float32)
+        if name in ("model.embed_tokens.weight", "embed_tokens.weight"):
+            top["embed"][:] = tensor[: b.vocab_size]
+        elif name in ("model.norm.weight", "norm.weight"):
+            top["final_ln"][:] = tensor
+        elif name == "lm_head.weight":
+            if not b.tie_word_embeddings:
+                top["lm_head"][:] = tensor[: b.vocab_size].T
+        elif ".layers." in name:
+            _, _, rest = name.partition(".layers.")
+            idx_str, _, suffix = rest.partition(".")
+            i = int(idx_str)
+            if suffix.startswith("mlp.experts."):
+                _, _, erest = suffix.partition("mlp.experts.")
+                e_str, _, wname = erest.partition(".")
+                e = int(e_str)
+                if wname == "gate_proj.weight":
+                    layers["w_gate_up"][i, e][:, :I] = tensor.T
+                elif wname == "up_proj.weight":
+                    layers["w_gate_up"][i, e][:, I:] = tensor.T
+                elif wname == "down_proj.weight":
+                    layers["w_down"][i, e] = tensor.T
+                continue
+            entry = col.get(suffix)
+            if entry is None:
+                continue
+            tgt, sl, transpose = entry
+            if tgt not in layers:
+                continue
+            value = tensor.T if transpose else tensor
+            if layers[tgt].ndim == 3:
+                layers[tgt][i][:, sl] = value
+            else:
+                layers[tgt][i][sl] = value
+
+    place = shard_fn or (lambda _name, arr: jax.device_put(arr))
+
+    def finalize(name, arr):
+        return place(name, np.asarray(arr, dtype=np.float32)).astype(dtype)
+
+    params = {
+        "embed": finalize("embed", top["embed"]),
+        "layers": {k: finalize(f"layers.{k}", v) for k, v in layers.items()},
+        "final_ln": finalize("final_ln", top["final_ln"]),
+    }
+    if b.tie_word_embeddings:
+        params["lm_head"] = params["embed"].T
+    else:
+        params["lm_head"] = finalize("lm_head", top["lm_head"])
+
+    from nanovllm_tpu.ops.rope import rope_table
+
+    cos, sin = rope_table(b.head_dim, b.max_position_embeddings, b.rope_theta,
+                          rope_scaling)
+    params["rope_cos"], params["rope_sin"] = cos, sin
+    return params
