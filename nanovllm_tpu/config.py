@@ -72,8 +72,10 @@ class Config:
     def _resolve_hf_config(self):
         from transformers import AutoConfig, PretrainedConfig
 
-        if isinstance(self.model, PretrainedConfig):
-            return self.model
+        if isinstance(self.model, PretrainedConfig) or (
+                not isinstance(self.model, str)
+                and hasattr(self.model, "architectures")):
+            return self.model  # a config object (HF or duck-typed)
         if not self.model:
             raise ValueError("Config.model must be a checkpoint path or a PretrainedConfig")
         return AutoConfig.from_pretrained(self.model, trust_remote_code=True)
