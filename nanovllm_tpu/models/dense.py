@@ -29,7 +29,7 @@ from nanovllm_tpu.ops import attention as attn_ops
 from nanovllm_tpu.ops.activation import silu_and_mul
 from nanovllm_tpu.ops.norms import add_rms_norm, rms_norm
 from nanovllm_tpu.ops.quant import quant_matmul
-from nanovllm_tpu.ops.rope import apply_rope
+from nanovllm_tpu.ops.rope import apply_rope_gathered
 
 
 @dataclass(frozen=True)
@@ -102,8 +102,8 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     if spec.qk_norm:
         q = rms_norm(q, lp["q_norm"], spec.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
-    q = apply_rope(q, cos, sin, meta.positions)
-    k = apply_rope(k, cos, sin, meta.positions)
+    q = apply_rope_gathered(q, cos, sin)
+    k = apply_rope_gathered(k, cos, sin)
 
     cache = attn_ops.write_kv(cache, k, v, meta.slot_mapping, layer=layer_idx)
     o = attn_fn(q, cache, meta, spec.head_dim ** -0.5, layer_idx)
@@ -136,7 +136,9 @@ def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
         attn_fn = default_attn_fn
     h = params["embed"][input_ids] * spec.emb_scale
     residual = jnp.zeros_like(h)
-    cos, sin = params["rope_cos"], params["rope_sin"]
+    # gather per-token rope rows once, outside the layer scan
+    cos = params["rope_cos"][meta.positions]
+    sin = params["rope_sin"][meta.positions]
 
     def body(carry, xs):
         h, residual, cache = carry

@@ -30,7 +30,7 @@ from nanovllm_tpu.models import dense
 from nanovllm_tpu.ops import attention as attn_ops
 from nanovllm_tpu.ops.activation import silu_and_mul
 from nanovllm_tpu.ops.norms import add_rms_norm, rms_norm
-from nanovllm_tpu.ops.rope import apply_rope
+from nanovllm_tpu.ops.rope import apply_rope_gathered
 
 
 @dataclass(frozen=True)
@@ -128,8 +128,8 @@ def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
     if b.qk_norm:
         q = rms_norm(q, lp["q_norm"], b.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], b.rms_norm_eps)
-    q = apply_rope(q, cos, sin, meta.positions)
-    k = apply_rope(k, cos, sin, meta.positions)
+    q = apply_rope_gathered(q, cos, sin)
+    k = apply_rope_gathered(k, cos, sin)
     cache = attn_ops.write_kv(cache, k, v, meta.slot_mapping, layer=layer_idx)
     o = attn_fn(q, cache, meta, b.head_dim ** -0.5, layer_idx)
     o = o.reshape(T, b.q_size) @ lp["wo"]
@@ -147,7 +147,8 @@ def forward(spec: MoESpec, params, input_ids, meta, cache, attn_fn=None):
     b = spec.base
     h = params["embed"][input_ids]
     residual = jnp.zeros_like(h)
-    cos, sin = params["rope_cos"], params["rope_sin"]
+    cos = params["rope_cos"][meta.positions]
+    sin = params["rope_sin"][meta.positions]
 
     def body(carry, xs):
         h, residual, cache = carry

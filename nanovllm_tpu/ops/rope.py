@@ -74,8 +74,14 @@ def longrope_attn_factor(scaling: dict) -> float:
 def apply_rope(x, cos, sin, positions):
     """x: (..., T, heads, head_dim); cos/sin: (max_len, head_dim//2);
     positions: (T,) absolute positions. NeoX half-split rotation."""
-    c = cos[positions][..., :, None, :]  # (T, 1, half)
-    s = sin[positions][..., :, None, :]
+    return apply_rope_gathered(x, cos[positions], sin[positions])
+
+
+def apply_rope_gathered(x, cos, sin):
+    """x: (T, heads, head_dim); cos/sin already gathered per token:
+    (T, head_dim//2). NeoX half-split rotation."""
+    c = cos[..., :, None, :]  # (T, 1, half)
+    s = sin[..., :, None, :]
     half = x.shape[-1] // 2
     x1 = x[..., :half].astype(jnp.float32)
     x2 = x[..., half:].astype(jnp.float32)

@@ -255,3 +255,112 @@ def load_moe_params(
                           rope_scaling)
     params["rope_cos"], params["rope_sin"] = cos, sin
     return params
+
+
+def load_vl_params(spec, source, dtype=jnp.bfloat16, shard_fn=None):
+    """Qwen3-VL: text backbone (dense layout, language_model.* names) plus the
+    vision tower pytree (reference qwen3_vl.py:1011-1056 name remapping)."""
+    vspec = spec.vision
+    ts = spec.text
+    VD, VI, depth = vspec.hidden_size, vspec.intermediate_size, vspec.depth
+    m2 = vspec.merge_unit
+    n_ds = len(vspec.deepstack_indexes)
+    patch_in = vspec.in_channels * vspec.temporal_patch_size * vspec.patch_size ** 2
+
+    def buf(shape):
+        return np.zeros(shape, np.float32)
+
+    blocks = {
+        "ln1_w": buf((depth, VD)), "ln1_b": buf((depth, VD)),
+        "ln2_w": buf((depth, VD)), "ln2_b": buf((depth, VD)),
+        "qkv_w": buf((depth, VD, 3 * VD)), "qkv_b": buf((depth, 3 * VD)),
+        "proj_w": buf((depth, VD, VD)), "proj_b": buf((depth, VD)),
+        "fc1_w": buf((depth, VD, VI)), "fc1_b": buf((depth, VI)),
+        "fc2_w": buf((depth, VI, VD)), "fc2_b": buf((depth, VD)),
+    }
+    merger = {
+        "norm_w": buf((VD,)), "norm_b": buf((VD,)),
+        "fc1_w": buf((VD * m2, VD * m2)), "fc1_b": buf((VD * m2,)),
+        "fc2_w": buf((VD * m2, vspec.out_hidden_size)),
+        "fc2_b": buf((vspec.out_hidden_size,)),
+    }
+    ds_mergers = {
+        "norm_w": buf((n_ds, VD * m2)), "norm_b": buf((n_ds, VD * m2)),
+        "fc1_w": buf((n_ds, VD * m2, VD * m2)), "fc1_b": buf((n_ds, VD * m2)),
+        "fc2_w": buf((n_ds, VD * m2, vspec.out_hidden_size)),
+        "fc2_b": buf((n_ds, vspec.out_hidden_size)),
+    }
+    vision = {
+        "patch_w": buf((patch_in, VD)), "patch_b": buf((VD,)),
+        "pos_embed": buf((vspec.num_position_embeddings, VD)),
+    }
+
+    text_sd = {}
+    it = _iter_safetensors(source) if isinstance(source, str) else _iter_state_dict(source)
+    for name, tensor in it:
+        tensor = np.asarray(tensor, dtype=np.float32)
+        if ".visual." in name or name.startswith("visual."):
+            _, _, vn = name.partition("visual.")
+            if vn == "patch_embed.proj.weight":
+                vision["patch_w"][:] = tensor.reshape(VD, -1).T
+            elif vn == "patch_embed.proj.bias":
+                vision["patch_b"][:] = tensor
+            elif vn == "pos_embed.weight":
+                vision["pos_embed"][:] = tensor
+            elif vn.startswith("blocks."):
+                _, _, r = vn.partition("blocks.")
+                i_str, _, wn = r.partition(".")
+                i = int(i_str)
+                wmap = {
+                    "norm1.weight": ("ln1_w", False), "norm1.bias": ("ln1_b", False),
+                    "norm2.weight": ("ln2_w", False), "norm2.bias": ("ln2_b", False),
+                    "attn.qkv.weight": ("qkv_w", True), "attn.qkv.bias": ("qkv_b", False),
+                    "attn.proj.weight": ("proj_w", True), "attn.proj.bias": ("proj_b", False),
+                    "mlp.linear_fc1.weight": ("fc1_w", True), "mlp.linear_fc1.bias": ("fc1_b", False),
+                    "mlp.linear_fc2.weight": ("fc2_w", True), "mlp.linear_fc2.bias": ("fc2_b", False),
+                }
+                if wn in wmap:
+                    tgt, tr = wmap[wn]
+                    blocks[tgt][i] = tensor.T if tr else tensor
+            elif vn.startswith("merger."):
+                _, _, wn = vn.partition("merger.")
+                wmap = {"norm.weight": ("norm_w", False), "norm.bias": ("norm_b", False),
+                        "linear_fc1.weight": ("fc1_w", True), "linear_fc1.bias": ("fc1_b", False),
+                        "linear_fc2.weight": ("fc2_w", True), "linear_fc2.bias": ("fc2_b", False)}
+                if wn in wmap:
+                    tgt, tr = wmap[wn]
+                    merger[tgt][:] = tensor.T if tr else tensor
+            elif vn.startswith("deepstack_merger_list."):
+                _, _, r = vn.partition("deepstack_merger_list.")
+                j_str, _, wn = r.partition(".")
+                j = int(j_str)
+                wmap = {"norm.weight": ("norm_w", False), "norm.bias": ("norm_b", False),
+                        "linear_fc1.weight": ("fc1_w", True), "linear_fc1.bias": ("fc1_b", False),
+                        "linear_fc2.weight": ("fc2_w", True), "linear_fc2.bias": ("fc2_b", False)}
+                if wn in wmap:
+                    tgt, tr = wmap[wn]
+                    ds_mergers[tgt][j] = tensor.T if tr else tensor
+        else:
+            # text backbone: strip the VL wrapper prefixes down to the
+            # "model.layers..." names load_dense_params expects
+            tn = name
+            for pre in ("model.language_model.", "language_model."):
+                if tn.startswith(pre):
+                    tn = "model." + tn[len(pre):]
+                    break
+            text_sd[tn] = tensor
+
+    params = load_dense_params(ts, text_sd, dtype=dtype)
+    place = shard_fn or (lambda _n, a: jax.device_put(a))
+
+    def fin(tree):
+        return {k: (fin(v) if isinstance(v, dict)
+                    else place(k, np.asarray(v, np.float32)).astype(dtype))
+                for k, v in tree.items()}
+
+    params["vision"] = fin({"patch_w": vision["patch_w"],
+                            "patch_b": vision["patch_b"],
+                            "pos_embed": vision["pos_embed"],
+                            "blocks": blocks, "merger": merger,
+                            "ds_mergers": ds_mergers})
+    return params

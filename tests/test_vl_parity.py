@@ -1,0 +1,143 @@
+"""Qwen3-VL parity vs HuggingFace transformers on CPU: vision tower outputs,
+mrope positions, and full multimodal prefill logits."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nanovllm_tpu.models import qwen3_vl as vl
+from nanovllm_tpu.utils.loader import load_vl_params
+
+IMG_TOKEN = 155
+
+
+def make_tiny_vl():
+    import torch
+    from transformers import Qwen3VLConfig, Qwen3VLForConditionalGeneration
+    from transformers.models.qwen3_vl.configuration_qwen3_vl import (
+        Qwen3VLTextConfig, Qwen3VLVisionConfig)
+
+    vc = Qwen3VLVisionConfig(
+        depth=3, hidden_size=32, intermediate_size=64, num_heads=4,
+        patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+        out_hidden_size=48, num_position_embeddings=16,
+        deepstack_visual_indexes=[0, 1])
+    tc = Qwen3VLTextConfig(
+        vocab_size=160, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, tie_word_embeddings=False,
+        rope_scaling={"rope_type": "default", "mrope_section": [4, 2, 2],
+                      "mrope_interleaved": True})
+    cfg = Qwen3VLConfig(vision_config=vc.to_dict(), text_config=tc.to_dict(),
+                        image_token_id=IMG_TOKEN, video_token_id=156,
+                        vision_start_token_id=157, vision_end_token_id=158)
+    cfg.architectures = ["Qwen3VLForConditionalGeneration"]
+    torch.manual_seed(0)
+    return cfg, Qwen3VLForConditionalGeneration(cfg).eval()
+
+
+GRID = (1, 4, 4)  # 16 patches -> 4 merged tokens
+PATCH_DIM = 3 * 2 * 4 * 4
+
+
+def test_vision_tower_parity():
+    import torch
+
+    cfg, model = make_tiny_vl()
+    spec = vl.spec_from_hf(cfg, max_model_len=128)
+    params = load_vl_params(spec, model.state_dict(), dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((np.prod(GRID), PATCH_DIM)).astype(np.float32)
+    grid_t = torch.tensor([list(GRID)])
+    with torch.no_grad():
+        hf_merged, hf_ds = model.model.visual(torch.tensor(pixels), grid_t)
+
+    merged, ds = vl.encode_image(spec.vision, params["vision"],
+                                 jnp.asarray(pixels), GRID)
+    np.testing.assert_allclose(np.asarray(merged), hf_merged.float().numpy(),
+                               rtol=2e-4, atol=2e-4)
+    assert len(hf_ds) == ds.shape[0] == 2
+    for j in range(2):
+        np.testing.assert_allclose(np.asarray(ds[j]), hf_ds[j].float().numpy(),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_mrope_positions_match_hf():
+    import torch
+
+    cfg, model = make_tiny_vl()
+    spec = vl.spec_from_hf(cfg, max_model_len=128)
+    n_img_tokens = 4  # merged tokens
+    # vision_start (157) must precede the image span for HF's detection
+    ids = [1, 2, 157] + [IMG_TOKEN] * n_img_tokens + [158, 5]
+    pos_hf, delta = model.model.get_rope_index(
+        torch.tensor([ids]), image_grid_thw=torch.tensor([list(GRID)]))
+    pos_hf = pos_hf[:, 0].numpy()  # (3, len)
+
+    ours, nxt = vl.compute_mrope_positions(
+        ids, [(3, n_img_tokens)], [GRID], spec.vision.spatial_merge_size)
+    np.testing.assert_array_equal(ours, pos_hf)
+    assert nxt == int(pos_hf.max()) + 1 + 0  # next position continues from max
+
+
+def test_full_multimodal_prefill_parity():
+    import torch
+
+    cfg, model = make_tiny_vl()
+    spec = vl.spec_from_hf(cfg, max_model_len=128)
+    params = load_vl_params(spec, model.state_dict(), dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    pixels = rng.standard_normal((np.prod(GRID), PATCH_DIM)).astype(np.float32)
+    n_img = 4
+    ids = [1, 2, 157] + [IMG_TOKEN] * n_img + [158, 5]
+    T = len(ids)
+
+    with torch.no_grad():
+        hf_logits = model(input_ids=torch.tensor([ids]),
+                          pixel_values=torch.tensor(pixels),
+                          image_grid_thw=torch.tensor([list(GRID)])
+                          ).logits[0].float().numpy()
+
+    # engine-style prefill: paged cache, full suffix, extras
+    from nanovllm_tpu.ops.attention import AttnMeta, KVCache
+
+    merged, ds = vl.encode_image(spec.vision, params["vision"],
+                                 jnp.asarray(pixels), GRID)
+    mm_embeds = np.zeros((T, spec.text.hidden_size), np.float32)
+    visual_mask = np.zeros((T,), bool)
+    deepstack = np.zeros((2, T, spec.text.hidden_size), np.float32)
+    mm_embeds[3:3 + n_img] = np.asarray(merged)
+    visual_mask[3:3 + n_img] = True
+    deepstack[:, 3:3 + n_img] = np.asarray(ds)
+    pos3, _ = vl.compute_mrope_positions(ids, [(3, n_img)], [GRID],
+                                         spec.vision.spatial_merge_size)
+
+    bs_, nblocks = 16, 8
+    tables = np.zeros((2, 8), np.int32)
+    tables[0, :1] = 1
+    meta = AttnMeta(
+        seg_ids=jnp.zeros(T, jnp.int32),
+        positions=jnp.arange(T, dtype=jnp.int32),
+        slot_mapping=jnp.asarray(bs_ + np.arange(T, dtype=np.int32)),
+        block_tables=jnp.asarray(tables),
+        context_lens=jnp.asarray([T, 0], dtype=jnp.int32),
+        last_token_idx=jnp.arange(2, dtype=jnp.int32) * 0 + jnp.asarray([T - 1, 0]),
+        chunk_seg=jnp.zeros(1, jnp.int32),
+        num_seqs=jnp.asarray(1))
+    shape = (spec.text.num_layers, nblocks, bs_,
+             spec.text.num_kv_heads * spec.text.head_dim)
+    cache = KVCache(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    extras = {"mm_embeds": jnp.asarray(mm_embeds),
+              "visual_mask": jnp.asarray(visual_mask),
+              "deepstack": jnp.asarray(deepstack),
+              "mrope_pos": jnp.asarray(pos3)}
+    hidden, cache = vl.text_forward(spec, params, jnp.asarray(ids, dtype=jnp.int32),
+                                    meta, cache, extras=extras)
+    from nanovllm_tpu.models import dense
+
+    logits = np.asarray(dense.compute_logits(spec.text, params, hidden))
+    np.testing.assert_allclose(logits[0], hf_logits[-1], rtol=3e-4, atol=3e-4)
