@@ -60,6 +60,9 @@ class Config:
             self.max_model_len = min(self.max_model_len, int(hf_max))
         if self.eos == -1:
             self.eos = self._resolve_eos()
+        arch = (getattr(self.hf_config, "architectures", None) or [""])[0]
+        if "VL" in arch or hasattr(self.hf_config, "vision_config"):
+            self.is_multimodal = True
         # The budget must cover one max-length prompt after chunk alignment.
         aligned_max = -(-self.max_model_len // self.prefill_chunk) * self.prefill_chunk
         self.max_num_batched_tokens = max(self.max_num_batched_tokens, aligned_max)

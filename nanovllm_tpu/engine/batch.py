@@ -43,6 +43,7 @@ class HostBatch:
     num_seqs: int             # live slots
     num_tokens: int           # live tokens
     is_prefill: bool
+    seq_token_offsets: list = None  # per-seq start row in the token layout
 
 
 def pick_bucket(n: int, buckets: Seq[int]) -> int:
@@ -99,11 +100,13 @@ def prepare_batch(
     temperatures = np.ones(S, dtype=np.float32)
 
     t = 0
+    offsets = []
     for i, seq in enumerate(seqs):
         table = seq.block_table
         block_tables[i, : len(table)] = table
         context_lens[i] = len(seq)
         temperatures[i] = seq.temperature
+        offsets.append(t if is_prefill else i)
         if is_prefill:
             start = seq.num_cached_tokens
             span = len(seq) - start
@@ -141,4 +144,5 @@ def prepare_batch(
         num_seqs=n,
         num_tokens=n_tokens,
         is_prefill=is_prefill,
+        seq_token_offsets=offsets,
     )

@@ -74,6 +74,9 @@ class LLMEngine:
             if self.tokenizer is None:
                 raise ValueError("string prompt but no tokenizer available")
             prompt = self.tokenizer.encode(prompt)
+        if self.config.is_multimodal and mm_kwargs.get("pixel_values") is not None \
+                and not mm_kwargs.get("vision_placeholders"):
+            mm_kwargs["vision_placeholders"] = self._find_vision_spans(prompt)
         seq = Sequence(prompt, sampling_params, request_id=request_id,
                        block_size=self.config.kvcache_block_size, **mm_kwargs)
         seq.arrival_time = time.perf_counter()
@@ -107,6 +110,76 @@ class LLMEngine:
         num_tokens = (sum(len(s) - s.num_cached_tokens for s in seqs)
                       if is_prefill else -len(seqs))
         return outputs, num_tokens
+
+    def _find_vision_spans(self, token_ids):
+        """Runs of image/video placeholder tokens -> [(start, length)]
+        (the reference expands placeholders itself, llm_engine.py:221-277;
+        HF processors emit pre-expanded ids, so spans are just scanned)."""
+        img = getattr(self.config.hf_config, "image_token_id", None)
+        vid = getattr(self.config.hf_config, "video_token_id", None)
+        spans = []
+        start = None
+        for i, t in enumerate(token_ids):
+            if t == img or t == vid:
+                if start is None:
+                    start = i
+            elif start is not None:
+                spans.append((start, i - start))
+                start = None
+        if start is not None:
+            spans.append((start, len(token_ids) - start))
+        return spans
+
+    def generate_multimodal(self, requests, sampling_params=None,
+                            processor=None, use_tqdm: bool = True):
+        """Multimodal batch generation (reference llm_engine.py:178-219).
+
+        Each request is a dict with either
+          {"prompt": str, "images": [...]} (requires an HF processor), or
+          {"input_ids": [...], "pixel_values": array,
+           "image_grid_thw": [(t, h, w), ...]} (pre-processed).
+        """
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(requests)
+        seq_order = []
+        for req, sp in zip(requests, sampling_params):
+            if "input_ids" in req:
+                ids = list(req["input_ids"])
+                pixel_values = req.get("pixel_values")
+                grids = req.get("image_grid_thw")
+            else:
+                if processor is None:
+                    raise ValueError("string prompts need an HF processor")
+                messages = [{"role": "user", "content": [
+                    *({"type": "image", "image": im} for im in req.get("images", [])),
+                    {"type": "text", "text": req["prompt"]},
+                ]}]
+                text = processor.apply_chat_template(
+                    messages, tokenize=False, add_generation_prompt=True)
+                enc = processor(text=[text], images=req.get("images") or None,
+                                return_tensors="np")
+                ids = enc["input_ids"][0].tolist()
+                pixel_values = enc.get("pixel_values")
+                grids = enc.get("image_grid_thw")
+            seq = self.add_request(ids, sp, pixel_values=pixel_values,
+                                   image_grid_thw=grids)
+            seq_order.append(seq.seq_id)
+
+        done = {}
+        while not self.is_finished():
+            outputs, _ = self.step()
+            for seq_id, token_ids, prompt_len, cache_tokens in outputs:
+                done[seq_id] = (token_ids, prompt_len, cache_tokens)
+        results = []
+        for seq_id in seq_order:
+            token_ids, prompt_len, cache_tokens = done[seq_id]
+            text = self.tokenizer.decode(token_ids) if self.tokenizer else None
+            results.append({"text": text, "token_ids": token_ids,
+                            "prompt_len": prompt_len,
+                            "cache_tokens": cache_tokens})
+        return results
 
     # -- batch generation ---------------------------------------------------
     def generate(self, prompts, sampling_params=None, use_tqdm: bool = True):

@@ -170,8 +170,13 @@ class ModelRunner:
             context_lens=dev["context_lens"], last_token_idx=dev["last_token_idx"],
             chunk_seg=dev["chunk_seg"], num_seqs=dev["num_seqs"])
         attn_fn = self._prefill_attn if is_prefill else self._decode_attn
-        hidden, cache = self.adapter.forward(
-            params, dev["input_ids"], meta, cache, attn_fn)
+        if "extras" in dev:
+            hidden, cache = self.adapter.forward(
+                params, dev["input_ids"], meta, cache, attn_fn,
+                extras=dev["extras"])
+        else:
+            hidden, cache = self.adapter.forward(
+                params, dev["input_ids"], meta, cache, attn_fn)
         logits = self.adapter.compute_logits(params, hidden)
         key = jax.random.fold_in(jax.random.key(self.config.seed), step_idx)
         tokens = sample_tokens(logits, dev["temperatures"], key)
@@ -180,7 +185,10 @@ class ModelRunner:
     # -- public API --------------------------------------------------------
     def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
         batch = self.prepare(seqs, is_prefill)
-        return self.run_batch(batch)
+        extras = None
+        if hasattr(self.adapter, "prepare_extras"):
+            extras = self.adapter.prepare_extras(seqs, batch)
+        return self.run_batch(batch, extras)
 
     def prepare(self, seqs: list[Sequence], is_prefill: bool) -> HostBatch:
         cfg = self.config
@@ -194,7 +202,9 @@ class ModelRunner:
             chunk=cfg.prefill_chunk,
         )
 
-    def run_batch(self, batch: HostBatch) -> list[int]:
+    def run_batch(self, batch: HostBatch, extras=None) -> list[int]:
+        if extras is None and hasattr(self.adapter, "prepare_extras"):
+            extras = self.adapter.prepare_extras(None, batch)
         dev = {
             "input_ids": jnp.asarray(batch.input_ids),
             "seg_ids": jnp.asarray(batch.seg_ids),
@@ -207,6 +217,8 @@ class ModelRunner:
             "temperatures": jnp.asarray(batch.temperatures),
             "num_seqs": jnp.asarray(batch.num_seqs, dtype=jnp.int32),
         }
+        if extras is not None:
+            dev["extras"] = {k: jnp.asarray(v) for k, v in extras.items()}
         self._step_counter += 1
         self.cache, tokens = self._jit_step(
             self.params, self.cache, dev,

@@ -71,6 +71,8 @@ class Sequence:
         self.vision_consumed = [0] * len(self.vision_placeholders)
         self.cached_vision_tokens = None
         self.cached_deepstack_tokens = None
+        self.mrope_prompt_pos = None   # (3, prompt_len) int32, lazily built
+        self.mrope_next = None         # first rope position after the prompt
 
     # -- views ------------------------------------------------------------
     def __len__(self) -> int:

@@ -131,9 +131,198 @@ class MoEAdapter:
         return self.spec.base.head_dim
 
 
+class VLAdapter:
+    """Qwen3-VL (models/qwen3_vl.py): vision tower cached per request,
+    multimodal extras assembled host-side per batch."""
+
+    def __init__(self, config):
+        from nanovllm_tpu.models import qwen3_vl as vlmod
+
+        self.config = config
+        self.vlmod = vlmod
+        self.spec = vlmod.spec_from_hf(config.hf_config,
+                                       max_model_len=config.max_model_len)
+        self.params = None  # set by load_params (vision encode needs them)
+        self._encoders = {}
+
+    # -- params -----------------------------------------------------------
+    def load_params(self, model_path, dtype, rng_key, shard_fn=None):
+        import jax
+        import jax.numpy as jnp
+
+        from nanovllm_tpu.models import dense
+
+        if model_path:
+            from nanovllm_tpu.utils.loader import load_vl_params
+
+            params = load_vl_params(self.spec, model_path, dtype=dtype,
+                                    shard_fn=shard_fn)
+        else:
+            params = dense.init_params(self.spec.text, rng_key, dtype=dtype)
+            params["vision"] = self._init_vision(rng_key, dtype)
+        self.params = params
+        return params
+
+    def _init_vision(self, key, dtype):
+        import jax
+        import jax.numpy as jnp
+
+        v = self.spec.vision
+        ks = jax.random.split(key, 12)
+        m2 = v.merge_unit
+        n_ds = len(v.deepstack_indexes)
+        pin = v.in_channels * v.temporal_patch_size * v.patch_size ** 2
+
+        def rnd(k, shape):
+            return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+        def zeros(shape):
+            return jnp.zeros(shape, dtype)
+
+        def ones(shape):
+            return jnp.ones(shape, dtype)
+
+        d, i_ = v.hidden_size, v.intermediate_size
+        return {
+            "patch_w": rnd(ks[0], (pin, d)), "patch_b": zeros((d,)),
+            "pos_embed": rnd(ks[1], (v.num_position_embeddings, d)),
+            "blocks": {
+                "ln1_w": ones((v.depth, d)), "ln1_b": zeros((v.depth, d)),
+                "ln2_w": ones((v.depth, d)), "ln2_b": zeros((v.depth, d)),
+                "qkv_w": rnd(ks[2], (v.depth, d, 3 * d)),
+                "qkv_b": zeros((v.depth, 3 * d)),
+                "proj_w": rnd(ks[3], (v.depth, d, d)),
+                "proj_b": zeros((v.depth, d)),
+                "fc1_w": rnd(ks[4], (v.depth, d, i_)), "fc1_b": zeros((v.depth, i_)),
+                "fc2_w": rnd(ks[5], (v.depth, i_, d)), "fc2_b": zeros((v.depth, d)),
+            },
+            "merger": {
+                "norm_w": ones((d,)), "norm_b": zeros((d,)),
+                "fc1_w": rnd(ks[6], (d * m2, d * m2)), "fc1_b": zeros((d * m2,)),
+                "fc2_w": rnd(ks[7], (d * m2, v.out_hidden_size)),
+                "fc2_b": zeros((v.out_hidden_size,)),
+            },
+            "ds_mergers": {
+                "norm_w": ones((n_ds, d * m2)), "norm_b": zeros((n_ds, d * m2)),
+                "fc1_w": rnd(ks[8], (n_ds, d * m2, d * m2)),
+                "fc1_b": zeros((n_ds, d * m2)),
+                "fc2_w": rnd(ks[9], (n_ds, d * m2, v.out_hidden_size)),
+                "fc2_b": zeros((n_ds, v.out_hidden_size)),
+            },
+        }
+
+    # -- compute ----------------------------------------------------------
+    def forward(self, params, input_ids, meta, cache, attn_fn, extras=None):
+        return self.vlmod.text_forward(self.spec, params, input_ids, meta,
+                                       cache, attn_fn=attn_fn, extras=extras)
+
+    def compute_logits(self, params, hidden):
+        return dense.compute_logits(self.spec.text, params, hidden)
+
+    # -- multimodal extras -------------------------------------------------
+    def _seq_mrope(self, seq):
+        import numpy as np
+
+        if getattr(seq, "mrope_prompt_pos", None) is None:
+            grids = [tuple(int(x) for x in g) for g in (seq.image_grid_thw or [])]
+            pos, nxt = self.vlmod.compute_mrope_positions(
+                seq.prompt_token_ids, seq.vision_placeholders, grids,
+                self.spec.vision.spatial_merge_size)
+            seq.mrope_prompt_pos = pos
+            seq.mrope_next = nxt
+        n_extra = len(seq) - seq.num_prompt_tokens
+        if n_extra <= 0:
+            return seq.mrope_prompt_pos
+        import numpy as np
+
+        tail = seq.mrope_next + np.arange(n_extra, dtype=np.int32)
+        return np.concatenate(
+            [seq.mrope_prompt_pos, np.broadcast_to(tail, (3, n_extra))], axis=1)
+
+    def _ensure_vision(self, seq):
+        import jax
+        import numpy as np
+
+        if seq.cached_vision_tokens is not None or seq.pixel_values is None:
+            return
+        vts, dss = [], []
+        row = 0
+        pixels = np.asarray(seq.pixel_values, dtype=np.float32)
+        for g in seq.image_grid_thw:
+            g = tuple(int(x) for x in g)
+            n = g[0] * g[1] * g[2]
+            enc = self._encoders.get(g)
+            if enc is None:
+                import functools
+
+                enc = jax.jit(functools.partial(
+                    self.vlmod.encode_image, self.spec.vision, grid=g))
+                self._encoders[g] = enc
+            merged, ds = enc(self.params["vision"], pixels[row: row + n])
+            vts.append(np.asarray(merged, np.float32))
+            dss.append(np.asarray(ds, np.float32))
+            row += n
+        seq.cached_vision_tokens = vts
+        seq.cached_deepstack_tokens = dss
+
+    def prepare_extras(self, seqs, batch):
+        import numpy as np
+
+        T = len(batch.input_ids)
+        S = len(batch.context_lens)
+        D = self.spec.text.hidden_size
+        n_ds = max(len(self.spec.vision.deepstack_indexes), 1)
+        mm = np.zeros((T, D), np.float32)
+        mask = np.zeros((T,), bool)
+        ds = np.zeros((n_ds, T, D), np.float32)
+        pos3 = np.zeros((3, T), np.int32)
+        if seqs is not None:
+            for i, seq in enumerate(seqs):
+                t0 = batch.seq_token_offsets[i]
+                if batch.is_prefill:
+                    start = seq.num_cached_tokens
+                    span = len(seq) - start
+                    pos_all = self._seq_mrope(seq)
+                    pos3[:, t0: t0 + span] = pos_all[:, start: len(seq)]
+                    self._ensure_vision(seq)
+                    for (p_start, p_len), vt, dsx in zip(
+                            seq.vision_placeholders,
+                            seq.cached_vision_tokens or [],
+                            seq.cached_deepstack_tokens or []):
+                        a = max(p_start, start)
+                        b = min(p_start + p_len, len(seq))
+                        if a >= b:
+                            continue
+                        r0 = t0 + (a - start)
+                        mm[r0: r0 + b - a] = vt[a - p_start: b - p_start]
+                        mask[r0: r0 + b - a] = True
+                        ds[:, r0: r0 + b - a] = dsx[:, a - p_start: b - p_start]
+                else:
+                    pos_val = (getattr(seq, "mrope_next", None) or len(seq))                         + (len(seq) - 1 - seq.num_prompt_tokens)
+                    if getattr(seq, "mrope_next", None) is None:
+                        pos_val = len(seq) - 1
+                    pos3[:, i] = pos_val
+        return {"mm_embeds": mm, "visual_mask": mask, "deepstack": ds,
+                "mrope_pos": pos3}
+
+    # -- cache geometry ----------------------------------------------------
+    @property
+    def num_layers(self):
+        return self.spec.text.num_layers
+
+    @property
+    def num_kv_heads(self):
+        return self.spec.text.num_kv_heads
+
+    @property
+    def head_dim(self):
+        return self.spec.text.head_dim
+
+
 ADAPTERS = {
     "Qwen3ForCausalLM": DenseAdapter,
     "Qwen3MoeForCausalLM": MoEAdapter,
+    "Qwen3VLForConditionalGeneration": VLAdapter,
     "Qwen2ForCausalLM": DenseAdapter,
     "LlamaForCausalLM": DenseAdapter,
     "MiniCPMForCausalLM": DenseAdapter,

@@ -141,3 +141,40 @@ def test_full_multimodal_prefill_parity():
 
     logits = np.asarray(dense.compute_logits(spec.text, params, hidden))
     np.testing.assert_allclose(logits[0], hf_logits[-1], rtol=3e-4, atol=3e-4)
+
+
+def test_engine_multimodal_e2e():
+    """Full engine path: generate_multimodal with pre-processed inputs; the
+    first greedy tokens must match HF generate on the same tiny model."""
+    import torch
+
+    from nanovllm_tpu import LLM, SamplingParams
+
+    cfg, model = make_tiny_vl()
+    rng = np.random.default_rng(2)
+    pixels = rng.standard_normal((np.prod(GRID), PATCH_DIM)).astype(np.float32)
+    ids = [1, 2, 157] + [IMG_TOKEN] * 4 + [158, 5]
+
+    with torch.no_grad():
+        hf_out = model.generate(
+            input_ids=torch.tensor([ids]), pixel_values=torch.tensor(pixels),
+            image_grid_thw=torch.tensor([list(GRID)]), max_new_tokens=3,
+            do_sample=False)
+    hf_tokens = hf_out[0, len(ids):].tolist()
+
+    llm = LLM(cfg, max_num_seqs=4, max_model_len=128, kvcache_block_size=16,
+              num_kvcache_blocks=64, prefill_token_buckets=(64, 128),
+              prefill_chunk=16, dtype="float32", attention_backend="jnp",
+              warmup=False)
+    # inject the HF weights
+    from nanovllm_tpu.utils.loader import load_vl_params
+
+    llm.model_runner.params = load_vl_params(
+        llm.model_runner.adapter.spec, model.state_dict(), dtype=jnp.float32)
+    llm.model_runner.adapter.params = llm.model_runner.params
+
+    out = llm.generate_multimodal(
+        [{"input_ids": ids, "pixel_values": pixels,
+          "image_grid_thw": [GRID]}],
+        SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True))
+    assert out[0]["token_ids"] == hf_tokens
