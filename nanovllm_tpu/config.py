@@ -35,6 +35,7 @@ class Config:
     dtype: str = "auto"  # model compute dtype: auto | bfloat16 | float32
     quantization: Optional[str] = None  # None | "int8" (weight-only)
     attention_backend: str = "auto"  # auto | pallas | jnp
+    native_runtime: str = "auto"  # auto | on | off: C++ block manager
     prefill_chunk: int = 128  # query-chunk alignment of the prefill layout
     use_graph_cache: bool = True  # persistent XLA compilation cache
     compile_cache_dir: str = os.path.expanduser("~/.cache/nanovllm_tpu_xla")

@@ -38,11 +38,23 @@ class Scheduler:
         # One physical block is reserved as the scratch page that padded
         # decode lanes write into (reference scheduler.py:26-30) — the
         # allocator never hands it out.
-        self.block_manager = BlockManager(
-            num_kvcache_blocks - 1,
-            config.kvcache_block_size,
-            non_cacheable_token_ids=non_cacheable_token_ids,
-        )
+        self.block_manager = None
+        if getattr(config, "native_runtime", "auto") in ("auto", "on"):
+            try:
+                from nanovllm_tpu.native.runtime import NativeBlockManager
+
+                self.block_manager = NativeBlockManager(
+                    num_kvcache_blocks - 1, config.kvcache_block_size,
+                    non_cacheable_token_ids=non_cacheable_token_ids)
+            except Exception:
+                if getattr(config, "native_runtime", "auto") == "on":
+                    raise
+        if self.block_manager is None:
+            self.block_manager = BlockManager(
+                num_kvcache_blocks - 1,
+                config.kvcache_block_size,
+                non_cacheable_token_ids=non_cacheable_token_ids,
+            )
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
 
