@@ -40,6 +40,8 @@ class HostBatch:
     last_token_idx: np.ndarray  # (S,) int32
     chunk_seg: np.ndarray     # (T // CQ,) int32: query chunk -> slot
     temperatures: np.ndarray  # (S,) float32
+    top_k: np.ndarray         # (S,) int32, 0 = disabled
+    top_p: np.ndarray         # (S,) float32, 1.0 = disabled
     num_seqs: int             # live slots
     num_tokens: int           # live tokens
     is_prefill: bool
@@ -98,6 +100,8 @@ def prepare_batch(
     last_token_idx = np.zeros(S, dtype=np.int32)
     chunk_seg = np.full(max(T // chunk, 1), pad_slot, dtype=np.int32)
     temperatures = np.ones(S, dtype=np.float32)
+    top_k = np.zeros(S, dtype=np.int32)
+    top_p = np.ones(S, dtype=np.float32)
 
     t = 0
     offsets = []
@@ -106,6 +110,8 @@ def prepare_batch(
         block_tables[i, : len(table)] = table
         context_lens[i] = len(seq)
         temperatures[i] = seq.temperature
+        top_k[i] = getattr(seq, "top_k", 0)
+        top_p[i] = getattr(seq, "top_p", 1.0)
         offsets.append(t if is_prefill else i)
         if is_prefill:
             start = seq.num_cached_tokens
@@ -141,6 +147,8 @@ def prepare_batch(
         last_token_idx=last_token_idx,
         chunk_seg=chunk_seg,
         temperatures=temperatures,
+        top_k=top_k,
+        top_p=top_p,
         num_seqs=n,
         num_tokens=n_tokens,
         is_prefill=is_prefill,

@@ -27,7 +27,7 @@ from nanovllm_tpu.engine.batch import HostBatch, prepare_batch
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models.registry import get_adapter
 from nanovllm_tpu.ops import attention as attn_ops
-from nanovllm_tpu.ops.sampler import sample_tokens
+from nanovllm_tpu.ops.sampler import sample_tokens, sample_tokens_filtered
 
 logger = logging.getLogger(__name__)
 
@@ -95,7 +95,8 @@ class ModelRunner:
         self.dummy_slot = (self.num_kvcache_blocks - 1) * config.kvcache_block_size
         self._prefill_attn, self._decode_attn = self._select_backends()
         self._jit_step = jax.jit(
-            self._step, static_argnames=("is_prefill",), donate_argnums=(1,))
+            self._step, static_argnames=("is_prefill", "filtered_sampling"),
+            donate_argnums=(1,))
         self._step_counter = 0
 
     # -- setup ------------------------------------------------------------
@@ -163,7 +164,8 @@ class ModelRunner:
         raise ValueError(f"unknown attention backend {backend!r}")
 
     # -- the jitted step ---------------------------------------------------
-    def _step(self, params, cache, dev, step_idx, *, is_prefill):
+    def _step(self, params, cache, dev, step_idx, *, is_prefill,
+              filtered_sampling=False):
         meta = attn_ops.AttnMeta(
             seg_ids=dev["seg_ids"], positions=dev["positions"],
             slot_mapping=dev["slot_mapping"], block_tables=dev["block_tables"],
@@ -179,7 +181,11 @@ class ModelRunner:
                 params, dev["input_ids"], meta, cache, attn_fn)
         logits = self.adapter.compute_logits(params, hidden)
         key = jax.random.fold_in(jax.random.key(self.config.seed), step_idx)
-        tokens = sample_tokens(logits, dev["temperatures"], key)
+        if filtered_sampling:
+            tokens = sample_tokens_filtered(
+                logits, dev["temperatures"], dev["top_k"], dev["top_p"], key)
+        else:
+            tokens = sample_tokens(logits, dev["temperatures"], key)
         return cache, tokens
 
     # -- public API --------------------------------------------------------
@@ -219,11 +225,16 @@ class ModelRunner:
         }
         if extras is not None:
             dev["extras"] = {k: jnp.asarray(v) for k, v in extras.items()}
+        filtered = bool((batch.top_k[: batch.num_seqs] > 0).any()
+                        or (batch.top_p[: batch.num_seqs] < 1.0).any())
+        if filtered:
+            dev["top_k"] = jnp.asarray(batch.top_k)
+            dev["top_p"] = jnp.asarray(batch.top_p)
         self._step_counter += 1
         self.cache, tokens = self._jit_step(
             self.params, self.cache, dev,
             jnp.asarray(self._step_counter, dtype=jnp.uint32),
-            is_prefill=batch.is_prefill)
+            is_prefill=batch.is_prefill, filtered_sampling=filtered)
         return np.asarray(tokens)[: batch.num_seqs].tolist()
 
     # -- warmup ------------------------------------------------------------
@@ -259,6 +270,8 @@ def _fake_batch(cfg: Config, dummy_slot: int, T: int, is_prefill: bool) -> HostB
         last_token_idx=np.zeros(S, np.int32),
         chunk_seg=np.zeros(nchunks, np.int32),
         temperatures=np.ones(S, np.float32),
+        top_k=np.zeros(S, np.int32),
+        top_p=np.ones(S, np.float32),
         num_seqs=1,
         num_tokens=1,
         is_prefill=is_prefill,
