@@ -8,11 +8,14 @@ arrival/first-token timestamps instead of an external metrics table.
 
 import argparse
 import json
+import os
 import sys
 import time
 from random import randint, seed
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -25,6 +28,7 @@ def main():
     parser.add_argument("--max-num-seqs", type=int, default=96)
     parser.add_argument("--max-model-len", type=int, default=2048)
     parser.add_argument("--attention-backend", default="auto")
+    parser.add_argument("--kv-cache-dtype", default="int8")
     parser.add_argument("--smoke", action="store_true")
     args = parser.parse_args()
 
@@ -37,15 +41,29 @@ def main():
     from nanovllm_tpu import LLM, SamplingParams
 
     if args.model is None:
-        sys.path.insert(0, ".")
         from bench_model import qwen3_0_6b_config  # noqa: shared with bench.py
 
         model = qwen3_0_6b_config()
+        if args.smoke:
+            from transformers import Qwen3Config
+
+            model = Qwen3Config(
+                vocab_size=8192, hidden_size=256, intermediate_size=768,
+                num_hidden_layers=4, num_attention_heads=8,
+                num_key_value_heads=4, head_dim=64,
+                max_position_embeddings=2048, tie_word_embeddings=True,
+                architectures=["Qwen3ForCausalLM"])
     else:
         model = args.model
-    llm = LLM(model, max_num_seqs=args.max_num_seqs,
-              max_model_len=args.max_model_len,
-              attention_backend=args.attention_backend)
+    kw = {}
+    if args.smoke:
+        kw = dict(max_num_batched_tokens=512, prefill_token_buckets=(512,),
+                  warmup=False, max_model_len=512, max_num_seqs=8)
+    else:
+        kw = dict(max_model_len=args.max_model_len,
+                  max_num_seqs=args.max_num_seqs)
+    llm = LLM(model, attention_backend=args.attention_backend,
+              kv_cache_dtype=args.kv_cache_dtype, **kw)
 
     in_lo = min(100, max(args.max_input_len // 2, 1))
     out_lo = min(100, max(args.max_output_len // 2, 1))

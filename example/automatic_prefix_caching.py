@@ -24,11 +24,18 @@ def main():
         long_prompt = "You are an expert assistant. " * 100 + "What is 2+2?"
         prompts = [long_prompt]
     else:
-        from bench_model import qwen3_0_6b_config
+        from transformers import Qwen3Config
 
-        llm = LLM(qwen3_0_6b_config(), max_num_seqs=8, max_model_len=2048)
+        demo = Qwen3Config(
+            vocab_size=8192, hidden_size=256, intermediate_size=768,
+            num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
+            head_dim=64, max_position_embeddings=2048, tie_word_embeddings=True,
+            architectures=["Qwen3ForCausalLM"])
+        llm = LLM(demo, max_num_seqs=8, max_model_len=2048,
+                  max_num_batched_tokens=2048, prefill_token_buckets=(1024, 2048),
+                  warmup=False)
         random.seed(0)
-        prompts = [[random.randint(1, 10000) for _ in range(900)]]
+        prompts = [[random.randint(1, 8000) for _ in range(900)]]
 
     sp = SamplingParams(temperature=0.0, max_tokens=32)
 

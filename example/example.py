@@ -6,6 +6,10 @@ Without one (demo mode):  python example/example.py
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nanovllm_tpu import LLM, SamplingParams
 
@@ -31,14 +35,20 @@ def main():
                 for p in prompts
             ]
     else:
-        from bench_model import qwen3_0_6b_config
+        from transformers import Qwen3Config
 
-        llm = LLM(qwen3_0_6b_config(), max_num_seqs=16, max_model_len=1024,
-                  max_num_batched_tokens=2048)
+        demo = Qwen3Config(
+            vocab_size=8192, hidden_size=256, intermediate_size=768,
+            num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
+            head_dim=64, max_position_embeddings=1024, tie_word_embeddings=True,
+            architectures=["Qwen3ForCausalLM"])
+        llm = LLM(demo, max_num_seqs=16, max_model_len=512,
+                  max_num_batched_tokens=512, prefill_token_buckets=(512,),
+                  warmup=False)
         import random
 
         random.seed(0)
-        prompts = [[random.randint(1, 10000) for _ in range(32)] for _ in range(3)]
+        prompts = [[random.randint(1, 8000) for _ in range(32)] for _ in range(3)]
 
     sp = SamplingParams(temperature=0.6, max_tokens=args.max_tokens)
     outputs = llm.generate(prompts, sp)
@@ -50,8 +60,4 @@ def main():
 
 
 if __name__ == "__main__":
-    import sys
-    import os
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     main()

@@ -16,6 +16,7 @@ sys.path.insert(0, ".")
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--backend", default="pallas")
+    parser.add_argument("--kv-dtype", default="auto")
     parser.add_argument("--ctx", type=int, default=1024)
     parser.add_argument("--max-num-seqs", type=int, default=96)
     parser.add_argument("--iters", type=int, default=20)
@@ -27,6 +28,7 @@ def main():
 
     cfg = Config(model=qwen3_0_6b_config(), max_num_seqs=args.max_num_seqs,
                  max_model_len=2048, max_num_batched_tokens=4096,
+                 kv_cache_dtype=args.kv_dtype,
                  attention_backend=args.backend)
     runner = ModelRunner(cfg)
     S = cfg.max_num_seqs
