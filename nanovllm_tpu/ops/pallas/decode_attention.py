@@ -62,7 +62,9 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
     npages = pl.cdiv(ctx, bs)
     niters = pl.cdiv(npages, P)
 
-    def page_dmas(it, slot, do_start):
+    def page_dmas(it, slot, do_start, which="kv"):
+        # which: "kv" = all copies; "k" = K (+scales); "v" = V (+scales) —
+        # waiting K first lets the score matmul overlap the V fetch.
         base = it * P
         for p in range(P):
             j = base + p
@@ -70,21 +72,23 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
             @pl.when(j < npages)
             def _():
                 page = tables_ref[seq, j]
-                copies = [
-                    pltpu.make_async_copy(k_hbm.at[layer, page],
-                                          k_buf.at[slot, p],
-                                          sems.at[0, slot, p]),
-                    pltpu.make_async_copy(v_hbm.at[layer, page],
-                                          v_buf.at[slot, p],
-                                          sems.at[1, slot, p]),
-                ]
-                if quantized:
+                copies = []
+                if which in ("kv", "k"):
                     copies.append(pltpu.make_async_copy(
-                        ks_hbm.at[layer, page], ks_buf.at[slot, p],
-                        sems.at[2, slot, p]))
+                        k_hbm.at[layer, page], k_buf.at[slot, p],
+                        sems.at[0, slot, p]))
+                    if quantized:
+                        copies.append(pltpu.make_async_copy(
+                            ks_hbm.at[layer, page], ks_buf.at[slot, p],
+                            sems.at[2, slot, p]))
+                if which in ("kv", "v"):
                     copies.append(pltpu.make_async_copy(
-                        vs_hbm.at[layer, page], vs_buf.at[slot, p],
-                        sems.at[3, slot, p]))
+                        v_hbm.at[layer, page], v_buf.at[slot, p],
+                        sems.at[1, slot, p]))
+                    if quantized:
+                        copies.append(pltpu.make_async_copy(
+                            vs_hbm.at[layer, page], vs_buf.at[slot, p],
+                            sems.at[3, slot, p]))
                 for c in copies:
                     (c.start if do_start else c.wait)()
 
@@ -112,13 +116,11 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         def _():
             page_dmas(it + 1, (it + 1) % N_BUF, True)
 
-        page_dmas(it, slot, False)
+        page_dmas(it, slot, False, which="k")
 
         k_flat = k_buf[slot].reshape(rows, row_dim)
-        v_flat = v_buf[slot].reshape(rows, row_dim)
         if quantized:
             k_flat = k_flat.astype(jnp.bfloat16)
-            v_flat = v_flat.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q_bd, k_flat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale    # (QH, P*bs)
@@ -134,7 +136,10 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         # l accumulates UNscaled probabilities (the softmax denominator);
         # the per-column v-scale is folded into p only for the V matmul.
         l = l * corr + jnp.sum(p_, axis=-1, keepdims=True)
+        page_dmas(it, slot, False, which="v")
+        v_flat = v_buf[slot].reshape(rows, row_dim)
         if quantized:
+            v_flat = v_flat.astype(jnp.bfloat16)
             p_ = p_ * scale_mat(vs_buf, slot)
         # Rows past the context come from never-DMAed buffer slots; zero them
         # so 0 * garbage (possibly NaN) cannot poison the accumulator.
