@@ -193,15 +193,21 @@ int bm_can_allocate(void* h, int seq_len) {
 }
 
 // Builds the block table for a fresh sequence. Returns num_cached_tokens,
-// or -1 on OOM (state unchanged up to the failing block would be corrupt,
-// so callers must check bm_can_allocate first, like the python side).
+// -1 on OOM, or -2 when the table would exceed `table_cap` entries (state
+// may be partially mutated on failure, so callers must check
+// bm_can_allocate and size their buffers first, like the python side).
 int bm_allocate(void* h, const int64_t* toks, int n,
-                int32_t* table_out, int* table_len_out) {
+                int32_t* table_out, int* table_len_out, int table_cap) {
   auto* bm = static_cast<BlockManager*>(h);
   int bs = bm->block_size;
   int nblocks = (n + bs - 1) / bs;
+  if (nblocks > table_cap) return -2;
   int64_t chain = NO_HASH;
   bool chain_alive = true;
+  // Hashes are only meaningful while the chain from the sequence start is
+  // unbroken; after a non-cacheable block resets it, a downstream hash with
+  // a NO_HASH prefix would be ambiguous with a sequence-initial block.
+  bool chain_intact = true;
   int cached = 0;
   for (int i = 0; i < nblocks; i++) {
     const int64_t* bt = toks + (int64_t)i * bs;
@@ -213,7 +219,12 @@ int bm_allocate(void* h, const int64_t* toks, int n,
         if (bm->non_cacheable.count(bt[j])) { cacheable = false; break; }
       }
     }
-    chain = cacheable ? hash_block(bt, blen, chain) : NO_HASH;
+    if (cacheable && chain_intact) {
+      chain = hash_block(bt, blen, chain);
+    } else {
+      chain = NO_HASH;
+      chain_intact = false;
+    }
     int hit = -1;
     if (chain_alive && cacheable) {
       auto it = bm->hash_to_block.find(chain);
@@ -255,14 +266,16 @@ int bm_can_append(void* h, int seq_len) {
   return (int)bm->free_list.size() >= needs;
 }
 
-// Decode-slot reservation; may extend the table (returns new table length)
-// and seals the trailing block when it fills.
+// Decode-slot reservation; may extend the table (returns new table length,
+// or -2 when the extension would exceed `table_cap`) and seals the trailing
+// block when it fills.
 int bm_append_slot(void* h, const int64_t* toks, int n,
-                   int32_t* table, int table_len) {
+                   int32_t* table, int table_len, int table_cap) {
   auto* bm = static_cast<BlockManager*>(h);
   int bs = bm->block_size;
   int off = n % bs;
   if (off == 1) {
+    if (table_len >= table_cap) return -2;
     table[table_len] = take_free(bm);
     return table_len + 1;
   }
@@ -276,8 +289,10 @@ int bm_append_slot(void* h, const int64_t* toks, int n,
     int bid = table[last];
     if (bm->hash[bid] != NO_HASH) return table_len;
     int64_t prev = last > 0 ? bm->hash[table[last - 1]] : NO_HASH;
-    int64_t hsh = hash_block(bt, bs, prev);
-    publish(bm, bid, hsh, bt, bs);
+    // Chain broken upstream: a prefix-less hash would be position-ambiguous
+    // with a sequence-initial block, so never publish it.
+    if (last > 0 && prev == NO_HASH) return table_len;
+    publish(bm, bid, hash_block(bt, bs, prev), bt, bs);
   }
   return table_len;
 }

@@ -109,11 +109,22 @@ class BlockManager:
         seq.num_cached_tokens = 0  # may hold a stale value after preemption
         chain = NO_HASH
         chain_alive = True
+        # A hash is only meaningful while the chain from the sequence START is
+        # unbroken: after a non-cacheable (e.g. vision) block resets it, a
+        # downstream block hashed with a NO_HASH prefix would collide with the
+        # hash of the same tokens appearing as a sequence's FIRST block —
+        # publishing it would hand later requests KV computed at different
+        # positions. Once broken, no later block is hashed or published.
+        chain_intact = True
         for i in range(seq.num_blocks):
             tokens = seq.block_tokens(i)
             full = len(tokens) == self.block_size
             cacheable = full and not any(t in self.non_cacheable for t in tokens)
-            chain = hash_block(tokens, chain) if cacheable else NO_HASH
+            if cacheable and chain_intact:
+                chain = hash_block(tokens, chain)
+            else:
+                chain = NO_HASH
+                chain_intact = False
             hit = NO_HASH
             if chain_alive and cacheable:
                 cand = self._hash_to_block.get(chain, -1)
@@ -167,10 +178,11 @@ class BlockManager:
             return  # already sealed (e.g. reused cached page)
         prev = self._hash[seq.block_table[logical_idx - 1]] if logical_idx > 0 else NO_HASH
         if logical_idx > 0 and prev == NO_HASH:
-            h = hash_block(tokens, NO_HASH)  # chain broken upstream; still publishable
-        else:
-            h = hash_block(tokens, prev)
-        self._publish(bid, h, tokens)
+            # Chain broken upstream (non-cacheable block earlier in the
+            # sequence): a hash over these tokens alone would be ambiguous
+            # with a sequence-initial block — never publish it.
+            return
+        self._publish(bid, hash_block(tokens, prev), tokens)
 
     # -- teardown ---------------------------------------------------------
     def deallocate(self, seq: Sequence) -> None:

@@ -59,7 +59,11 @@ class LLMEngine:
         if not self.config.is_multimodal:
             return None
         ids = []
-        for attr in ("image_token_id", "vision_start_token_id", "vision_end_token_id"):
+        # video_token_id included: video placeholder blocks are runs of one
+        # repeated id, so two different videos would otherwise produce
+        # identical token blocks and false prefix-cache hits.
+        for attr in ("image_token_id", "video_token_id",
+                     "vision_start_token_id", "vision_end_token_id"):
             tid = getattr(self.config.hf_config, attr, None)
             if tid is not None:
                 ids.append(int(tid))

@@ -45,7 +45,8 @@ class Scheduler:
 
                 self.block_manager = NativeBlockManager(
                     num_kvcache_blocks - 1, config.kvcache_block_size,
-                    non_cacheable_token_ids=non_cacheable_token_ids)
+                    non_cacheable_token_ids=non_cacheable_token_ids,
+                    max_blocks_per_seq=config.blocks_per_seq)
             except Exception:
                 if getattr(config, "native_runtime", "auto") == "on":
                     raise

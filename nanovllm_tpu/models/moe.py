@@ -30,6 +30,7 @@ from nanovllm_tpu.models import dense
 from nanovllm_tpu.ops import attention as attn_ops
 from nanovllm_tpu.ops.activation import silu_and_mul
 from nanovllm_tpu.ops.norms import add_rms_norm, rms_norm
+from nanovllm_tpu.ops.quant import quant_matmul
 from nanovllm_tpu.ops.rope import apply_rope_gathered
 
 
@@ -120,7 +121,7 @@ def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
     b = spec.base
     T = h.shape[0]
     normed, residual = add_rms_norm(h, residual, lp["ln1"], b.rms_norm_eps)
-    qkv = normed @ lp["wqkv"]
+    qkv = quant_matmul(normed, lp["wqkv"], lp.get("wqkv_scale"))
     q, k, v = dense._split_qkv(qkv, b)
     q = q.reshape(T, b.num_q_heads, b.head_dim)
     k = k.reshape(T, b.num_kv_heads, b.head_dim)
@@ -132,7 +133,7 @@ def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
     k = apply_rope_gathered(k, cos, sin)
     cache = attn_ops.write_kv(cache, k, v, meta.slot_mapping, layer=layer_idx)
     o = attn_fn(q, cache, meta, b.head_dim ** -0.5, layer_idx)
-    o = o.reshape(T, b.q_size) @ lp["wo"]
+    o = quant_matmul(o.reshape(T, b.q_size), lp["wo"], lp.get("wo_scale"))
     if b.tp_axis:
         o = jax.lax.psum(o, b.tp_axis)
 

@@ -8,6 +8,7 @@ engine then uses the pure-Python BlockManager.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -21,17 +22,34 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "csrc",
                     "block_manager.cpp")
 _SO = os.path.join(_HERE, "_engine_core.so")
+_SO_STAMP = _SO + ".src.sha256"
 
 _lib = None
 _load_failed = False
 
 
+def _src_digest() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> Optional[str]:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+    # Reuse a previous build only when it was compiled from EXACTLY this
+    # source (content hash, not mtimes — git does not preserve mtimes, and a
+    # stale binary must never be dlopen'd in place of the reviewed source).
+    digest = _src_digest()
+    if os.path.exists(_SO) and os.path.exists(_SO_STAMP):
+        try:
+            with open(_SO_STAMP) as f:
+                if f.read().strip() == digest:
+                    return _SO
+        except OSError:
+            pass
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(_SO_STAMP, "w") as f:
+            f.write(digest)
         return _SO
     except Exception as e:
         logger.warning("native runtime build failed (%s); using python path", e)
@@ -60,13 +78,13 @@ def get_lib():
     lib.bm_can_allocate.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.bm_can_allocate.restype = ctypes.c_int
     lib.bm_allocate.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-                                ctypes.c_void_p, ctypes.c_void_p]
+                                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.bm_allocate.restype = ctypes.c_int
     lib.bm_deallocate.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.bm_can_append.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.bm_can_append.restype = ctypes.c_int
     lib.bm_append_slot.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-                                   ctypes.c_void_p, ctypes.c_int]
+                                   ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.bm_append_slot.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -78,7 +96,8 @@ class NativeBlockManager:
     block_table lists."""
 
     def __init__(self, num_blocks: int, block_size: int,
-                 non_cacheable_token_ids: Optional[Iterable[int]] = None):
+                 non_cacheable_token_ids: Optional[Iterable[int]] = None,
+                 max_blocks_per_seq: Optional[int] = None):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native runtime unavailable")
@@ -89,7 +108,10 @@ class NativeBlockManager:
         self.non_cacheable = frozenset(int(x) for x in nc)
         self._h = lib.bm_create(num_blocks, block_size,
                                 nc.ctypes.data if nc.size else None, nc.size)
-        self._table_buf = np.zeros(4096, np.int32)
+        # Table scratch sized for the longest possible sequence; the C ABI
+        # takes the capacity and fails (-2) rather than writing past it.
+        cap = max_blocks_per_seq if max_blocks_per_seq else num_blocks
+        self._table_buf = np.zeros(max(cap + 1, 64), np.int32)
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -117,7 +139,11 @@ class NativeBlockManager:
         out_len = ctypes.c_int(0)
         cached = self._lib.bm_allocate(
             self._h, toks.ctypes.data, len(toks),
-            self._table_buf.ctypes.data, ctypes.byref(out_len))
+            self._table_buf.ctypes.data, ctypes.byref(out_len),
+            self._table_buf.size)
+        if cached == -2:
+            raise ValueError(
+                f"sequence needs more than {self._table_buf.size} blocks")
         if cached < 0:
             raise IndexError("out of KV blocks")
         seq.block_table = self._table_buf[: out_len.value].tolist()
@@ -140,7 +166,10 @@ class NativeBlockManager:
         buf[: table.size] = table
         new_len = self._lib.bm_append_slot(self._h, toks.ctypes.data,
                                            len(toks), buf.ctypes.data,
-                                           table.size)
+                                           table.size, buf.size)
+        if new_len == -2:
+            raise ValueError(
+                f"sequence needs more than {buf.size} blocks")
         if new_len != table.size:
             seq.block_table.append(int(buf[new_len - 1]))
 

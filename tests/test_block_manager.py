@@ -140,6 +140,34 @@ def test_fully_cached_prompt_keeps_one_query_token():
     assert b.num_cached_tokens == len(b) - 1  # one token left to recompute
 
 
+def test_broken_chain_never_publishes_ambiguous_hash():
+    # After a non-cacheable (vision) block resets the chain, a downstream
+    # block's tokens hash identically to the same tokens at sequence START —
+    # publishing it would let a fresh request reuse KV computed at different
+    # positions. Both the allocate() path and the decode sealing path must
+    # refuse to publish such blocks.
+    bm = BlockManager(num_blocks=16, block_size=BS, non_cacheable_token_ids=[42])
+    a = make_seq([42, 42, 42, 42, 1, 2, 3, 4])  # block0 vision, block1 [1,2,3,4]
+    bm.allocate(a)
+    assert bm.block_hash(a.block_table[1]) == NO_HASH  # not published
+    b = make_seq([1, 2, 3, 4, 9])  # same tokens as a's block1, but position 0
+    bm.allocate(b)
+    assert b.block_table[0] != a.block_table[1]
+    assert b.num_cached_tokens == 0
+    bm.deallocate(b)
+
+    # Decode sealing path: fill a block whose upstream chain is broken.
+    c = make_seq([42, 42, 42, 42, 5, 6, 7])
+    bm.allocate(c)
+    c.append_token(8)  # len 8 -> seals logical block 1 ([5,6,7,8])
+    bm.append_slot(c)
+    assert bm.block_hash(c.block_table[1]) == NO_HASH
+    d = make_seq([5, 6, 7, 8, 9])
+    bm.allocate(d)
+    assert d.block_table[0] != c.block_table[1]
+    assert d.num_cached_tokens == 0
+
+
 def test_oom_raises_not_corrupts():
     bm = BlockManager(num_blocks=2, block_size=BS)
     a = make_seq(range(8))
