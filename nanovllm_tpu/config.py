@@ -35,6 +35,9 @@ class Config:
     dtype: str = "auto"  # model compute dtype: auto | bfloat16 | float32
     quantization: Optional[str] = None  # None | "int8" (weight-only)
     attention_backend: str = "auto"  # auto | pallas | jnp
+    use_shard_map: str = "auto"  # auto: shard_map iff tensor_parallel_size>1;
+    # "on": always run the step under shard_map on a 1+ device mesh (lets a
+    # single chip validate the multi-chip code path)
     native_runtime: str = "auto"  # auto | on | off: C++ block manager
     prefill_chunk: int = 128  # query-chunk alignment of the prefill layout
     use_graph_cache: bool = True  # persistent XLA compilation cache

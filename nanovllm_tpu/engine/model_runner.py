@@ -55,11 +55,24 @@ class ModelRunner:
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
             except Exception:  # cache knobs are best-effort across jax versions
                 pass
-        self.mesh = mesh
         self.adapter = get_adapter(config)
         self.dtype = _DTYPES[config.dtype]
         self.kv_dtype = (self.dtype if config.kv_cache_dtype == "auto"
                          else _DTYPES.get(config.kv_cache_dtype, jnp.int8))
+
+        # -- mesh (reference spawns per-rank worker processes over HCCL,
+        # llm_engine.py:39-49 + model_runner.py:39; here TP is a device mesh
+        # and the step runs SPMD under shard_map) --------------------------
+        tp = config.tensor_parallel_size
+        self.mesh = mesh
+        if self.mesh is None and (tp > 1 or config.use_shard_map == "on"):
+            from nanovllm_tpu.parallel import tp as tplib
+
+            ndev = len(jax.devices())
+            if ndev < tp:
+                raise ValueError(
+                    f"tensor_parallel_size={tp} but only {ndev} devices visible")
+            self.mesh = tplib.make_mesh(tp)
 
         t0 = time.perf_counter()
         self.params = self.adapter.load_params(
@@ -74,19 +87,35 @@ class ModelRunner:
         logger.info("weights ready in %.1fs (quant=%s)",
                     time.perf_counter() - t0, config.quantization)
 
+        # Cache geometry uses the GLOBAL adapter view; tp_plan below switches
+        # the adapter spec to the per-shard view for the shard_map'ed step.
         self.num_kvcache_blocks = self._size_kv_cache()
         shape = (self.adapter.num_layers, self.num_kvcache_blocks,
                  config.kvcache_block_size,
                  self.adapter.num_kv_heads * self.adapter.head_dim)
+        sshape = (self.adapter.num_layers, self.num_kvcache_blocks,
+                  self.adapter.num_kv_heads, config.kvcache_block_size)
+        kv_shardings = attn_ops.KVCache(None, None, None, None)
+        self._kv_pspecs = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from nanovllm_tpu.parallel import tp as tplib
+
+            self._kv_pspecs = tplib.kv_cache_pspec(self.kv_dtype == jnp.int8)
+            kv_shardings = attn_ops.KVCache(*[
+                NamedSharding(self.mesh, s) if s is not None else None
+                for s in self._kv_pspecs])
         if self.kv_dtype == jnp.int8:
-            sshape = (self.adapter.num_layers, self.num_kvcache_blocks,
-                      self.adapter.num_kv_heads, config.kvcache_block_size)
             self.cache = attn_ops.KVCache(
-                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
-                jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32))
+                jnp.zeros(shape, jnp.int8, device=kv_shardings.k),
+                jnp.zeros(shape, jnp.int8, device=kv_shardings.v),
+                jnp.zeros(sshape, jnp.float32, device=kv_shardings.k_scale),
+                jnp.zeros(sshape, jnp.float32, device=kv_shardings.v_scale))
         else:
             self.cache = attn_ops.KVCache(
-                jnp.zeros(shape, self.kv_dtype), jnp.zeros(shape, self.kv_dtype))
+                jnp.zeros(shape, self.kv_dtype, device=kv_shardings.k),
+                jnp.zeros(shape, self.kv_dtype, device=kv_shardings.v))
         gib = sum(x.nbytes for x in jax.tree.leaves(self.cache)) / 2**30
         logger.info("KV cache (%s): %d blocks x %d tokens (%.2f GiB)",
                     self.kv_dtype.__name__, self.num_kvcache_blocks,
@@ -94,14 +123,59 @@ class ModelRunner:
 
         self.dummy_slot = (self.num_kvcache_blocks - 1) * config.kvcache_block_size
         self._prefill_attn, self._decode_attn = self._select_backends()
-        self._jit_step = jax.jit(
-            self._step, static_argnames=("is_prefill", "filtered_sampling"),
-            donate_argnums=(1,))
+        if self.mesh is not None:
+            self.params = self._shard_params(tp)
+            self._jit_step = self._build_sharded_step()
+        else:
+            self._jit_step = jax.jit(
+                self._step, static_argnames=("is_prefill", "filtered_sampling"),
+                donate_argnums=(1,))
         self._step_counter = 0
+
+    def _shard_params(self, tp: int):
+        """Host reorder + NamedSharding placement of the weight pytree
+        (replaces the reference's per-class weight_loader shard slicing,
+        linear.py:54-153)."""
+        from jax.sharding import NamedSharding
+
+        host = jax.tree.map(np.asarray, self.params)
+        host, pspecs = self.adapter.tp_plan(host, tp)
+        self._param_pspecs = pspecs
+        sharded = jax.tree.map(
+            lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
+            host, pspecs)
+        if getattr(self.adapter, "params", None) is not None:
+            self.adapter.params = sharded  # vision encoders read from here
+        return sharded
+
+    def _build_sharded_step(self):
+        """jit(shard_map(step)): params/cache sharded by their pspecs, batch
+        metadata replicated, sampled tokens replicated (every shard computes
+        the identical sample — the SPMD analogue of the reference's
+        rank-0-only sampler, model_runner.py:440-450)."""
+        from jax.sharding import PartitionSpec as P
+
+        rep = P()
+
+        def sharded(params, cache, dev, step_idx, *, is_prefill,
+                    filtered_sampling):
+            fn = partial(self._step, is_prefill=is_prefill,
+                         filtered_sampling=filtered_sampling)
+            return jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(self._param_pspecs, self._kv_pspecs, rep, rep),
+                out_specs=(self._kv_pspecs, rep),
+                check_vma=False,
+            )(params, cache, dev, step_idx)
+
+        return jax.jit(sharded,
+                       static_argnames=("is_prefill", "filtered_sampling"),
+                       donate_argnums=(1,))
 
     # -- setup ------------------------------------------------------------
     def _size_kv_cache(self) -> int:
         cfg = self.config
+        shards = self.mesh.devices.size if self.mesh is not None else 1
         itemsize = jnp.dtype(self.kv_dtype).itemsize
         per_token = self.adapter.num_kv_heads * self.adapter.head_dim * itemsize
         if self.kv_dtype == jnp.int8:
@@ -122,13 +196,16 @@ class ModelRunner:
         if free <= 0 and dev.platform == "tpu":
             # memory_stats() is unavailable on some TPU runtimes: fall back to
             # the known HBM size per device kind minus what we already placed.
+            # Params end up 1/shards per device once sharded.
             hbm = _HBM_BYTES.get(dev.device_kind, 16 * 2**30)
             params_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))
-            free = hbm * cfg.gpu_memory_utilization - params_bytes
+            free = hbm * cfg.gpu_memory_utilization - params_bytes / shards
         if free <= 0:
             n = 512  # CPU / unknown backend: small fixed pool
         else:
-            n = int(free // block_bytes)
+            # The cache shards its kv-head/feature axis: each device holds
+            # block_bytes/shards per block, so the pool scales with the mesh.
+            n = int(free * shards // block_bytes)
         n = max(n, self.config.blocks_per_seq + 1)
         return n
 

@@ -62,6 +62,9 @@ class DenseSpec:
     # (linear.py:152). The spec then describes the LOCAL shard (heads and
     # intermediate divided by tp; see parallel/tp.py local_spec).
     tp_axis: Optional[str] = None
+    # False when the vocab does not divide tp: the lm_head stays replicated
+    # and compute_logits skips the all_gather.
+    lm_head_tp: bool = True
 
     @property
     def q_size(self) -> int:
@@ -165,7 +168,7 @@ def compute_logits(spec: DenseSpec, params, hidden):
     embed_head.py:61-66 — full replication keeps the step SPMD)."""
     logits = quant_matmul(hidden, params["lm_head"],
                           params.get("lm_head_scale"))
-    if spec.tp_axis:
+    if spec.tp_axis and spec.lm_head_tp:
         logits = jax.lax.all_gather(logits, spec.tp_axis, axis=1, tiled=True)
     return logits.astype(jnp.float32) * spec.logit_scale
 

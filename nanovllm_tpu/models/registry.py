@@ -61,6 +61,20 @@ class DenseAdapter:
         return dense.init_params(self.spec, rng_key, dtype=dtype,
                                  rope_scaling=self.rope_scaling)
 
+    # -- tensor parallelism ------------------------------------------------
+    def tp_plan(self, params, tp: int):
+        """Host-side TP prep: shard-major column reorder of the fused
+        weights, PartitionSpecs for device placement, and switch the spec to
+        the per-shard view so forward under shard_map sees local geometry.
+        Call AFTER KV-cache sizing — the cache geometry properties report
+        the LOCAL view afterwards."""
+        from nanovllm_tpu.parallel import tp as tplib
+
+        params = tplib.reorder_params_for_tp(params, self.spec, tp)
+        pspecs = tplib.param_pspecs(self.spec, params, tp=tp)
+        self.spec = tplib.local_spec(self.spec, tp)
+        return params, pspecs
+
     # -- compute ----------------------------------------------------------
     def forward(self, params, input_ids, meta, cache, attn_fn):
         return dense.forward(self.spec, params, input_ids, meta, cache,
@@ -106,6 +120,16 @@ class MoEAdapter:
                                    shard_fn=shard_fn)
         return moe.init_params(self.spec, rng_key, dtype=dtype,
                                rope_scaling=self.rope_scaling)
+
+    def tp_plan(self, params, tp: int):
+        """TP for attention + expert parallelism over the same mesh axis
+        (experts stay replicated when num_experts % tp != 0)."""
+        from nanovllm_tpu.parallel import tp as tplib
+
+        params = tplib.reorder_params_for_tp(params, self.spec.base, tp)
+        pspecs = tplib.moe_param_pspecs(self.spec, params, tp=tp)
+        self.spec = tplib.local_moe_spec(self.spec, tp)
+        return params, pspecs
 
     def forward(self, params, input_ids, meta, cache, attn_fn):
         from nanovllm_tpu.models import moe
@@ -210,6 +234,19 @@ class VLAdapter:
                 "fc2_b": zeros((n_ds, v.out_hidden_size)),
             },
         }
+
+    def tp_plan(self, params, tp: int):
+        """TP for the text backbone; the vision tower is replicated (it runs
+        once per image outside the hot loop)."""
+        from dataclasses import replace
+
+        from nanovllm_tpu.parallel import tp as tplib
+
+        params = tplib.reorder_params_for_tp(params, self.spec.text, tp)
+        pspecs = tplib.vl_param_pspecs(self.spec, params, tp=tp)
+        self.spec = replace(self.spec, text=tplib.local_spec(self.spec.text, tp))
+        self.params = params  # refreshed to the sharded copy by ModelRunner
+        return params, pspecs
 
     # -- compute ----------------------------------------------------------
     def forward(self, params, input_ids, meta, cache, attn_fn, extras=None):

@@ -60,10 +60,39 @@ def build_tp_step(mesh, spec, lspec, prefill_attn=None, decode_attn=None,
 
 
 def run_dryrun(n_devices: int) -> None:
+    """Drive the REAL production engine (LLM -> LLMEngine -> ModelRunner)
+    with tensor_parallel_size=n_devices: mesh construction, shard-major
+    weight reorder, NamedSharding placement, sharded KV cache, and the
+    shard_map'ed jitted step — then a raw build_tp_step smoke for the
+    library-level path."""
     devices = jax.devices()
     assert len(devices) >= n_devices, \
         f"need {n_devices} devices, have {len(devices)} " \
         "(set XLA_FLAGS=--xla_force_host_platform_device_count)"
+
+    from transformers import Qwen3Config
+
+    from nanovllm_tpu import LLM, SamplingParams
+
+    cfg = Qwen3Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=n_devices,
+        num_key_value_heads=n_devices, head_dim=16,
+        intermediate_size=16 * n_devices, vocab_size=64 * n_devices,
+        max_position_embeddings=128)
+    cfg.architectures = ["Qwen3ForCausalLM"]
+    llm = LLM(cfg, tensor_parallel_size=n_devices, max_num_seqs=4,
+              max_model_len=64, num_kvcache_blocks=32, kvcache_block_size=16,
+              prefill_chunk=16, attention_backend="jnp", dtype="float32",
+              warmup=False)
+    out = llm.generate([[1, 2, 3, 4, 5], [7, 8, 9]],
+                       SamplingParams(temperature=0.7, max_tokens=6),
+                       use_tqdm=False)
+    assert all(len(o["token_ids"]) == 6 for o in out), out
+
+    _raw_step_dryrun(n_devices)
+
+
+def _raw_step_dryrun(n_devices: int) -> None:
     tp = n_devices
     mesh = tplib.make_mesh(tp=tp, dp=1)
 

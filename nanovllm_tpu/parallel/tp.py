@@ -46,6 +46,7 @@ def local_spec(spec: DenseSpec, tp: int) -> DenseSpec:
         num_kv_heads=spec.num_kv_heads // tp,
         intermediate_size=spec.intermediate_size // tp,
         tp_axis=TP_AXIS,
+        lm_head_tp=spec.vocab_size % tp == 0,
     )
 
 
@@ -59,9 +60,12 @@ def prune_to(params: dict, pspecs: dict) -> dict:
     return out
 
 
-def param_pspecs(spec: DenseSpec, params: dict | None = None) -> dict:
+def param_pspecs(spec: DenseSpec, params: dict | None = None,
+                 tp: int | None = None) -> dict:
     """PartitionSpecs for the dense params pytree (shard-major fused layout).
-    Pass `params` to prune optional entries to the actual structure."""
+    Pass `params` to prune optional entries to the actual structure. Pass
+    `tp` to replicate the lm_head when the vocab does not divide it."""
+    vocab_sharded = tp is None or spec.vocab_size % tp == 0
     layers = {
         "ln1": P(), "ln2": P(),
         "wqkv": P(None, None, TP_AXIS),
@@ -83,12 +87,61 @@ def param_pspecs(spec: DenseSpec, params: dict | None = None) -> dict:
         "embed": P(),
         "layers": layers,
         "final_ln": P(),
-        "lm_head": P(None, TP_AXIS),
-        "lm_head_scale": P(TP_AXIS),
+        "lm_head": P(None, TP_AXIS) if vocab_sharded else P(),
+        "lm_head_scale": P(TP_AXIS) if vocab_sharded else P(),
         "rope_cos": P(),
         "rope_sin": P(),
     }
     return prune_to(params, pspecs) if params is not None else pspecs
+
+
+def moe_param_pspecs(mspec, params: dict | None = None,
+                     tp: int | None = None) -> dict:
+    """PartitionSpecs for a MoE params pytree: attention weights shard like
+    the dense model; experts shard on the EXPERT axis over the same mesh
+    axis (expert parallelism, models/moe.py ep_axis path); the router is
+    replicated. Expert sharding needs num_experts % tp == 0, else experts
+    stay replicated."""
+    base = param_pspecs(mspec.base, tp=tp)
+    ep = tp is None or mspec.num_experts % tp == 0
+    exp = P(None, TP_AXIS, None, None) if ep else P()
+    base["layers"].update({
+        "router": P(),
+        "w_gate_up": exp,
+        "w_down": exp,
+    })
+    return prune_to(params, base) if params is not None else base
+
+
+def local_moe_spec(mspec, tp: int):
+    """Per-shard MoE view: localized attention + EP over the tp axis."""
+    if tp == 1:
+        return mspec
+    base = local_spec(mspec.base, tp)
+    if mspec.num_experts % tp == 0:
+        return replace(mspec, base=base, ep_axis=TP_AXIS,
+                       num_local_experts=mspec.num_experts // tp)
+    return replace(mspec, base=base)
+
+
+def vl_param_pspecs(vspec, params: dict, tp: int | None = None) -> dict:
+    """PartitionSpecs for Qwen3-VL params: the text backbone shards like the
+    dense model; the vision tower (a tiny fraction of the weights, run once
+    per image) is replicated."""
+    text = param_pspecs(vspec.text, tp=tp)
+
+    def all_rep(tree):
+        return {k: all_rep(v) if isinstance(v, dict) else P()
+                for k, v in tree.items()}
+
+    out = {}
+    for key, value in params.items():
+        if key == "vision":
+            out[key] = all_rep(value)
+        else:
+            out[key] = prune_to({key: value}, {key: text[key]})[key] \
+                if isinstance(value, dict) else text[key]
+    return out
 
 
 def kv_cache_pspec(quantized: bool = False):
