@@ -90,12 +90,14 @@ class ModelRunner:
         # Cache geometry uses the GLOBAL adapter view; tp_plan below switches
         # the adapter spec to the per-shard view for the shard_map'ed step.
         self.num_kvcache_blocks = self._size_kv_cache()
-        shape = (self.adapter.num_layers, self.num_kvcache_blocks,
+        # Fused single-DMA layout (ops/attention.py KVCache): K and V planes
+        # of a page are contiguous.
+        shape = (self.adapter.num_layers, self.num_kvcache_blocks, 2,
                  config.kvcache_block_size,
                  self.adapter.num_kv_heads * self.adapter.head_dim)
-        sshape = (self.adapter.num_layers, self.num_kvcache_blocks,
+        sshape = (self.adapter.num_layers, self.num_kvcache_blocks, 2,
                   self.adapter.num_kv_heads, config.kvcache_block_size)
-        kv_shardings = attn_ops.KVCache(None, None, None, None)
+        kv_shardings = attn_ops.KVCache(None, None)
         self._kv_pspecs = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding
@@ -108,14 +110,11 @@ class ModelRunner:
                 for s in self._kv_pspecs])
         if self.kv_dtype == jnp.int8:
             self.cache = attn_ops.KVCache(
-                jnp.zeros(shape, jnp.int8, device=kv_shardings.k),
-                jnp.zeros(shape, jnp.int8, device=kv_shardings.v),
-                jnp.zeros(sshape, jnp.float32, device=kv_shardings.k_scale),
-                jnp.zeros(sshape, jnp.float32, device=kv_shardings.v_scale))
+                jnp.zeros(shape, jnp.int8, device=kv_shardings.kv),
+                jnp.zeros(sshape, jnp.float32, device=kv_shardings.scale))
         else:
             self.cache = attn_ops.KVCache(
-                jnp.zeros(shape, self.kv_dtype, device=kv_shardings.k),
-                jnp.zeros(shape, self.kv_dtype, device=kv_shardings.v))
+                jnp.zeros(shape, self.kv_dtype, device=kv_shardings.kv))
         gib = sum(x.nbytes for x in jax.tree.leaves(self.cache)) / 2**30
         logger.info("KV cache (%s): %d blocks x %d tokens (%.2f GiB)",
                     self.kv_dtype.__name__, self.num_kvcache_blocks,
@@ -316,23 +315,33 @@ class ModelRunner:
 
     # -- warmup ------------------------------------------------------------
     def warmup(self):
-        """Compile every batch shape up front (prefill buckets + decode) so
-        serving never hits a compile stall — the role of the reference's
-        warmup_model + torchair cache check (llm_engine.py:53-87)."""
+        """Compile every batch shape up front (prefill buckets + decode,
+        each in BOTH sampler modes) so serving never hits a compile stall —
+        the role of the reference's warmup_model + torchair cache check
+        (llm_engine.py:53-87). The filtered (top-k/top-p) sampler is a
+        static jit arg; without warming it, the first filtered request used
+        to trigger a multi-minute mid-serving compile."""
         cfg = self.config
         t0 = time.perf_counter()
-        for bucket in cfg.prefill_token_buckets:
-            fake = _fake_batch(cfg, self.dummy_slot, bucket, is_prefill=True)
+        n = 0
+        for filtered in (False, True):
+            for bucket in cfg.prefill_token_buckets:
+                fake = _fake_batch(cfg, self.dummy_slot, bucket,
+                                   is_prefill=True, filtered=filtered)
+                self.run_batch(fake)
+                n += 1
+            fake = _fake_batch(cfg, self.dummy_slot, cfg.max_num_seqs,
+                               is_prefill=False, filtered=filtered)
             self.run_batch(fake)
-        fake = _fake_batch(cfg, self.dummy_slot, cfg.max_num_seqs, is_prefill=False)
-        self.run_batch(fake)
+            n += 1
         # No cache reset needed: pages are always written by a sequence's own
         # prefill before its context_lens exposes them to reads.
         logger.info("warmup compiled %d shapes in %.1fs",
-                    len(cfg.prefill_token_buckets) + 1, time.perf_counter() - t0)
+                    n, time.perf_counter() - t0)
 
 
-def _fake_batch(cfg: Config, dummy_slot: int, T: int, is_prefill: bool) -> HostBatch:
+def _fake_batch(cfg: Config, dummy_slot: int, T: int, is_prefill: bool,
+                filtered: bool = False) -> HostBatch:
     S = cfg.max_num_seqs
     if not is_prefill:
         T = S
@@ -347,7 +356,7 @@ def _fake_batch(cfg: Config, dummy_slot: int, T: int, is_prefill: bool) -> HostB
         last_token_idx=np.zeros(S, np.int32),
         chunk_seg=np.zeros(nchunks, np.int32),
         temperatures=np.ones(S, np.float32),
-        top_k=np.zeros(S, np.int32),
+        top_k=np.full(S, 40, np.int32) if filtered else np.zeros(S, np.int32),
         top_p=np.ones(S, np.float32),
         num_seqs=1,
         num_tokens=1,

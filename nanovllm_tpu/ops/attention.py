@@ -17,9 +17,10 @@ Design differences from the reference (TPU-first):
     T == num_slots special case. Queries always read K/V from the paged cache
     (so prefill computes only the uncached suffix — the reference recomputes
     whole prompts, nanovllm/engine/model_runner.py:238-290).
-  * Cache layout is (layers, num_blocks, block_size, kv_heads*head_dim):
-    each token slot is one flat contiguous row — the scatter-write layout,
-    the Pallas DMA granule, and reshape-free at the jit boundary.
+  * Cache layout is FUSED (layers, num_blocks, 2, block_size,
+    kv_heads*head_dim) — a page's K and V planes are contiguous, so one DMA
+    per page feeds the kernels and one scatter per step writes both planes;
+    token slots stay flat contiguous rows (reshape-free at the jit boundary).
   * All batch metadata is fixed-shape, padded device arrays — one compiled
     step serves every cache state (the reference needed a separate
     "padding" prep path for graph mode, model_runner.py:292-342).
@@ -36,20 +37,63 @@ NEG_INF = -1e30
 
 
 class KVCache(NamedTuple):
-    """Paged KV cache pytree. Values: (L, NB, block_size, KVH*head_dim) in
-    bf16/f32, or int8 with per-token-per-head scales k_scale/v_scale of shape
-    (L, NB, KVH, block_size) float32 (transposed so the kernels can apply a
-    page's scales to score tiles without any in-kernel transpose). Scales are
-    None for non-quantized caches."""
+    """Paged KV cache pytree, FUSED layout: one value array
+    (L, NB, 2, block_size, KVH*head_dim) holding a sequence's K page at
+    [..., page, 0] and its V page at [..., page, 1] — a page's K and V are
+    one contiguous HBM chunk, so the decode/prefill kernels fetch a whole
+    page with a SINGLE DMA (the round-1 split-array layout needed 2-4 copies
+    per page and their issue overhead dominated the decode step,
+    BUILD_NOTES round-1 measurements). Quantized caches add fused scales
+    (L, NB, 2, KVH, block_size) float32 — also one DMA — stored transposed
+    so kernels can apply a page's scales to score tiles without an in-kernel
+    transpose. `scale` is None for non-quantized caches."""
 
-    k: jax.Array
-    v: jax.Array
-    k_scale: jax.Array | None = None
-    v_scale: jax.Array | None = None
+    kv: jax.Array
+    scale: jax.Array | None = None
 
     @property
     def quantized(self) -> bool:
-        return self.k_scale is not None
+        return self.scale is not None
+
+    # Split views (tests / debug / host-side reads — these COPY; kernels
+    # slice the fused buffers in VMEM instead).
+    @property
+    def k(self) -> jax.Array:
+        return self.kv[..., 0, :, :]
+
+    @property
+    def v(self) -> jax.Array:
+        return self.kv[..., 1, :, :]
+
+    @property
+    def k_scale(self):
+        return None if self.scale is None else self.scale[..., 0, :, :]
+
+    @property
+    def v_scale(self):
+        return None if self.scale is None else self.scale[..., 1, :, :]
+
+    @classmethod
+    def build(cls, k, v, k_scale=None, v_scale=None) -> "KVCache":
+        """Fuse separate K/V (.., NB, bs, KVH*hd) arrays (and optional
+        (.., NB, KVH, bs) scales) into the single-DMA layout."""
+        kv = jnp.stack([k, v], axis=-3)
+        sc = None
+        if k_scale is not None:
+            sc = jnp.stack([k_scale, v_scale], axis=-3)
+        return cls(kv, sc)
+
+    @classmethod
+    def zeros(cls, num_layers, num_blocks, block_size, kv_heads, head_dim,
+              dtype=jnp.bfloat16, quantized=False) -> "KVCache":
+        kv = jnp.zeros((num_layers, num_blocks, 2, block_size,
+                        kv_heads * head_dim),
+                       jnp.int8 if quantized else dtype)
+        sc = None
+        if quantized:
+            sc = jnp.zeros((num_layers, num_blocks, 2, kv_heads, block_size),
+                           jnp.float32)
+        return cls(kv, sc)
 
 
 def quantize_rows(x, eps: float = 1e-8):
@@ -85,66 +129,58 @@ class AttnMeta(NamedTuple):
 
 
 def write_kv(cache: KVCache, k, v, slot_mapping, layer=None) -> KVCache:
-    """Scatter new K/V rows into the paged cache (quantizing if int8).
+    """Scatter new K/V rows into the fused paged cache (quantizing if int8).
 
-    Canonical value shape: (num_blocks, block_size, KVH*head_dim) — one flat
-    feature row per token slot — with a leading layers axis when `layer` is
-    given (the scan-over-layers path: scattering straight into the stacked
-    cache keeps the whole update in-place under donation). The flat row is
-    simultaneously (a) the layout XLA picks for this scatter (a mismatched
-    layout costs a full cache copy on entry), (b) the Pallas kernels' DMA
-    granule, with heads as static column slices, and (c) reshape-free at the
-    jit boundary (an in-jit 5D<->4D cache reshape materialized 4.9 GiB
-    copies).
+    Canonical value shape: (num_blocks, 2, block_size, KVH*head_dim) — one
+    flat feature row per token slot per K/V plane — with a leading layers
+    axis when `layer` is given (the scan-over-layers path: scattering
+    straight into the stacked cache keeps the whole update in-place under
+    donation). One scatter covers both planes (the token's K and V rows are
+    a (2, row) window), and the flat row stays the Pallas DMA granule with
+    heads as static column slices.
     k/v: (T, KVH, head_dim). slot_mapping: (T,) flat slots.
     """
-    bs = cache.k.shape[-2]
+    bs = cache.kv.shape[-2]
     blocks = slot_mapping // bs
     offs = slot_mapping % bs
-    ks = vs = None
+    kv = jnp.stack([k, v], axis=1)                     # (T, 2, KVH, hd)
+    sc = None
     if cache.quantized:
-        k, ks = quantize_rows(k)   # (T, KVH, hd) int8, (T, KVH) f32
-        v, vs = quantize_rows(v)
-    k = k.reshape(k.shape[0], -1).astype(cache.k.dtype)
-    v = v.reshape(v.shape[0], -1).astype(cache.v.dtype)
+        kv, sc = quantize_rows(kv)                     # int8, (T, 2, KVH) f32
+    kvf = kv.reshape(kv.shape[0], 2, -1).astype(cache.kv.dtype)
     if layer is None:
-        kc = cache.k.at[blocks, offs, :].set(k, mode="drop")
-        vc = cache.v.at[blocks, offs, :].set(v, mode="drop")
+        vals = cache.kv.at[blocks, :, offs, :].set(kvf, mode="drop")
         if cache.quantized:
-            ksc = cache.k_scale.at[blocks, :, offs].set(ks, mode="drop")
-            vsc = cache.v_scale.at[blocks, :, offs].set(vs, mode="drop")
+            scs = cache.scale.at[blocks, :, :, offs].set(sc, mode="drop")
     else:
-        kc = cache.k.at[layer, blocks, offs, :].set(k, mode="drop")
-        vc = cache.v.at[layer, blocks, offs, :].set(v, mode="drop")
+        vals = cache.kv.at[layer, blocks, :, offs, :].set(kvf, mode="drop")
         if cache.quantized:
-            ksc = cache.k_scale.at[layer, blocks, :, offs].set(ks, mode="drop")
-            vsc = cache.v_scale.at[layer, blocks, :, offs].set(vs, mode="drop")
-    if not cache.quantized:
-        return KVCache(kc, vc, None, None)
-    return KVCache(kc, vc, ksc, vsc)
+            scs = cache.scale.at[layer, blocks, :, :, offs].set(sc, mode="drop")
+    return KVCache(vals, scs if cache.quantized else None)
 
 
-def _gather_values(values, layer, pages, kvh):
-    out = values[pages] if layer is None else values[layer, pages]
-    return out.reshape(*out.shape[:-1], kvh, out.shape[-1] // kvh)
+def _sel(arr, layer, pages):
+    return arr[pages] if layer is None else arr[layer, pages]
 
 
-def gather_k_pages(cache: KVCache, layer, pages, kvh):
-    """Dequantized K pages: (..., bs, KVH, hd) float32."""
-    out = _gather_values(cache.k, layer, pages, kvh).astype(jnp.float32)
+def _gather_plane(cache: KVCache, layer, pages, kvh, plane: int):
+    out = _sel(cache.kv, layer, pages)[..., plane, :, :]
+    out = out.reshape(*out.shape[:-1], kvh, out.shape[-1] // kvh)
+    out = out.astype(jnp.float32)
     if cache.quantized:
-        sc = cache.k_scale[pages] if layer is None else cache.k_scale[layer, pages]
+        sc = _sel(cache.scale, layer, pages)[..., plane, :, :]
         # (..., KVH, bs) -> broadcast over hd
         out = out * jnp.swapaxes(sc, -1, -2)[..., None]
     return out
 
 
+def gather_k_pages(cache: KVCache, layer, pages, kvh):
+    """Dequantized K pages: (..., bs, KVH, hd) float32."""
+    return _gather_plane(cache, layer, pages, kvh, 0)
+
+
 def gather_v_pages(cache: KVCache, layer, pages, kvh):
-    out = _gather_values(cache.v, layer, pages, kvh).astype(jnp.float32)
-    if cache.quantized:
-        sc = cache.v_scale[pages] if layer is None else cache.v_scale[layer, pages]
-        out = out * jnp.swapaxes(sc, -1, -2)[..., None]
-    return out
+    return _gather_plane(cache, layer, pages, kvh, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -158,8 +194,8 @@ def ragged_attention_reference(q, cache: KVCache, meta: AttnMeta, scale: float,
     q: (T, QH, hd) -> out (T, QH, hd).
     """
     T, QH, hd = q.shape
-    bs = cache.k.shape[-2]
-    KVH = cache.k.shape[-1] // hd
+    bs = cache.kv.shape[-2]
+    KVH = cache.kv.shape[-1] // hd
     S, maxB = meta.block_tables.shape
     G = QH // KVH
 
@@ -200,8 +236,8 @@ def paged_decode_attention_jnp(q, cache: KVCache, block_tables, context_lens,
     kernel replaces this with per-sequence early exit).
     """
     S, QH, hd = q.shape
-    bs = cache.k.shape[-2]
-    KVH = cache.k.shape[-1] // hd
+    bs = cache.kv.shape[-2]
+    KVH = cache.kv.shape[-1] // hd
     G = QH // KVH
     maxB = block_tables.shape[1]
     qg = q.reshape(S, KVH, G, hd).astype(jnp.float32)
@@ -244,8 +280,8 @@ def ragged_prefill_attention_jnp(q, cache: KVCache, meta: AttnMeta,
     softmax, so peak transient memory is O(T * block_size) scores.
     """
     T, QH, hd = q.shape
-    bs = cache.k.shape[-2]
-    KVH = cache.k.shape[-1] // hd
+    bs = cache.kv.shape[-2]
+    KVH = cache.kv.shape[-1] // hd
     G = QH // KVH
     C = T // chunk
     maxB = meta.block_tables.shape[1]

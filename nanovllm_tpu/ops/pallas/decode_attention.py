@@ -8,22 +8,28 @@ cache through the per-slot block table, with per-sequence early exit
 
 Performance shape: decode attention compute is tiny next to its HBM traffic,
 so the kernel keeps fixed per-op overheads off the DMA critical path:
+  * FUSED K|V pages: the cache stores a page's K and V planes contiguously
+    ((L, NB, 2, bs, KVH*hd), ops/attention.py KVCache), so each page is ONE
+    async copy — round 1's split arrays needed 2 (4 quantized) copies per
+    page and their issue overhead, not bandwidth, dominated the step
+    (~8-10us per page-pair iteration, BUILD_NOTES).
   * GQA heads fold into ONE matmul per page group via a block-diagonal
     query — q_bd (QH, KVH*hd) places head i's vector in its kv-head's column
     block, so q_bd @ K_page^T is exactly the grouped scores. q_bd is built
     (and the per-head output extracted) in the jitted CALLER.
   * Pages stream PAGES_PER_ITER at a time with double-buffered DMA of whole
-    flat (bs, KVH*hd) rows — few large copies instead of per-head slices.
+    (2, bs, KVH*hd) pages — few large copies instead of per-head slices.
   * INT8 KV: values are int8 with per-token-per-head scales stored
-    TRANSPOSED as (KVH, bs) pages. Because each block-diagonal score row
-    touches exactly one kv head, dequantization is exact as a post-matmul
-    elementwise multiply: scale_mat = repeat(scales, G, axis=0) applied to
-    the (QH, P*bs) score tile (K) and folded into the probabilities right
-    before the V matmul (after l is accumulated from the UNscaled
-    probabilities). Halves decode HBM traffic and doubles cache capacity.
+    TRANSPOSED and fused ((L, NB, 2, KVH, bs) f32, one more DMA per page).
+    Because each block-diagonal score row touches exactly one kv head,
+    dequantization is exact as a post-matmul elementwise multiply:
+    scale_mat = repeat(scales, G, axis=0) applied to the (QH, P*bs) score
+    tile (K) and folded into the probabilities right before the V matmul
+    (after l is accumulated from the UNscaled probabilities). Halves decode
+    HBM traffic and doubles cache capacity.
 
-Layout contract: cache values (L, num_blocks, block_size, KVH*head_dim),
-scales (L, num_blocks, KVH, block_size) f32; the kernel gets full stacks
+Layout contract: cache values (L, num_blocks, 2, block_size, KVH*head_dim),
+scales (L, num_blocks, 2, KVH, block_size) f32; the kernel gets full stacks
 plus the layer index as a prefetched scalar.
 """
 
@@ -49,11 +55,10 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
                    bs: int, row_dim: int, group: int, scale: float,
                    quantized: bool):
     if quantized:
-        (k_hbm, v_hbm, ks_hbm, vs_hbm, out_ref,
-         k_buf, v_buf, ks_buf, vs_buf, sems) = refs
+        kv_hbm, sc_hbm, out_ref, kv_buf, sc_buf, sems = refs
     else:
-        k_hbm, v_hbm, out_ref, k_buf, v_buf, sems = refs
-        ks_hbm = vs_hbm = ks_buf = vs_buf = None
+        kv_hbm, out_ref, kv_buf, sems = refs
+        sc_hbm = sc_buf = None
 
     P = PAGES_PER_ITER
     seq = pl.program_id(0)
@@ -62,9 +67,7 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
     npages = pl.cdiv(ctx, bs)
     niters = pl.cdiv(npages, P)
 
-    def page_dmas(it, slot, do_start, which="kv"):
-        # which: "kv" = all copies; "k" = K (+scales); "v" = V (+scales) —
-        # waiting K first lets the score matmul overlap the V fetch.
+    def page_dmas(it, slot, do_start):
         base = it * P
         for p in range(P):
             j = base + p
@@ -72,23 +75,13 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
             @pl.when(j < npages)
             def _():
                 page = tables_ref[seq, j]
-                copies = []
-                if which in ("kv", "k"):
+                copies = [pltpu.make_async_copy(
+                    kv_hbm.at[layer, page], kv_buf.at[slot, p],
+                    sems.at[0, slot, p])]
+                if quantized:
                     copies.append(pltpu.make_async_copy(
-                        k_hbm.at[layer, page], k_buf.at[slot, p],
-                        sems.at[0, slot, p]))
-                    if quantized:
-                        copies.append(pltpu.make_async_copy(
-                            ks_hbm.at[layer, page], ks_buf.at[slot, p],
-                            sems.at[2, slot, p]))
-                if which in ("kv", "v"):
-                    copies.append(pltpu.make_async_copy(
-                        v_hbm.at[layer, page], v_buf.at[slot, p],
+                        sc_hbm.at[layer, page], sc_buf.at[slot, p],
                         sems.at[1, slot, p]))
-                    if quantized:
-                        copies.append(pltpu.make_async_copy(
-                            vs_hbm.at[layer, page], vs_buf.at[slot, p],
-                            sems.at[3, slot, p]))
                 for c in copies:
                     (c.start if do_start else c.wait)()
 
@@ -100,12 +93,13 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
     nq = q_bd.shape[0]
     rows = P * bs
 
-    def scale_mat(bufs, slot):
+    def scale_mat(slot, plane):
         # (P, KVH, bs) f32 -> (QH, P*bs): concat pages on the lane axis, then
         # TILE kv-head rows G times (pltpu.repeat tiles: [h0..hK, h0..hK, ..])
         # — q_bd rows are permuted to the matching order (row r <-> kv head
         # r % KVH) by the caller.
-        sc = jnp.concatenate([bufs[slot, p] for p in range(P)], axis=1)
+        sc = jnp.concatenate([sc_buf[slot, p, plane] for p in range(P)],
+                             axis=1)
         return pltpu.repeat(sc, group, axis=0)
 
     def body(it, carry):
@@ -116,16 +110,16 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         def _():
             page_dmas(it + 1, (it + 1) % N_BUF, True)
 
-        page_dmas(it, slot, False, which="k")
+        page_dmas(it, slot, False)
 
-        k_flat = k_buf[slot].reshape(rows, row_dim)
+        k_flat = kv_buf[slot, :, 0].reshape(rows, row_dim)
         if quantized:
             k_flat = k_flat.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q_bd, k_flat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale    # (QH, P*bs)
         if quantized:
-            s = s * scale_mat(ks_buf, slot)
+            s = s * scale_mat(slot, 0)
         rem = ctx - it * rows
         live = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) < rem
         s = jnp.where(live, s, NEG_INF)
@@ -136,11 +130,10 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         # l accumulates UNscaled probabilities (the softmax denominator);
         # the per-column v-scale is folded into p only for the V matmul.
         l = l * corr + jnp.sum(p_, axis=-1, keepdims=True)
-        page_dmas(it, slot, False, which="v")
-        v_flat = v_buf[slot].reshape(rows, row_dim)
+        v_flat = kv_buf[slot, :, 1].reshape(rows, row_dim)
         if quantized:
             v_flat = v_flat.astype(jnp.bfloat16)
-            p_ = p_ * scale_mat(vs_buf, slot)
+            p_ = p_ * scale_mat(slot, 1)
         # Rows past the context come from never-DMAed buffer slots; zero them
         # so 0 * garbage (possibly NaN) cannot poison the accumulator.
         live_rows = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) < rem
@@ -167,22 +160,18 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
     in_specs = [
         pl.BlockSpec((1, QH, row_dim), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((N_BUF, PAGES_PER_ITER, bs, row_dim),
-                   jnp.int8 if quantized else dtype),
-        pltpu.VMEM((N_BUF, PAGES_PER_ITER, bs, row_dim),
+        pltpu.VMEM((N_BUF, PAGES_PER_ITER, 2, bs, row_dim),
                    jnp.int8 if quantized else dtype),
     ]
-    nsems = 2
+    nsems = 1
     if quantized:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
-                     pl.BlockSpec(memory_space=pltpu.ANY)]
-        scratch += [pltpu.VMEM((N_BUF, PAGES_PER_ITER, kvh, bs), jnp.float32),
-                    pltpu.VMEM((N_BUF, PAGES_PER_ITER, kvh, bs), jnp.float32)]
-        nsems = 4
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(
+            pltpu.VMEM((N_BUF, PAGES_PER_ITER, 2, kvh, bs), jnp.float32))
+        nsems = 2
     scratch.append(pltpu.SemaphoreType.DMA((nsems, N_BUF, PAGES_PER_ITER)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -206,14 +195,14 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
 
 def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                            layer, *, scale: float, interpret: bool = False):
-    """q: (S, QH, hd); cache values (L, NB, bs, KVH*hd); layer: () int32.
+    """q: (S, QH, hd); cache values (L, NB, 2, bs, KVH*hd); layer: () int32.
     Returns (S, QH, hd). Slots with context_len == 0 yield zeros.
 
     The pallas_call object is memoized on shapes: one Mosaic lowering serves
     every layer of every step (a fresh partial() per call re-lowered the
     same kernel dozens of times and dominated compile time)."""
     S, QH, hd = q.shape
-    L, NB, bs, row_dim = cache.k.shape
+    L, NB, _, bs, row_dim = cache.kv.shape
     kvh = row_dim // hd
     group = QH // kvh
 
@@ -232,9 +221,9 @@ def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                            float(scale), cache.quantized, interpret)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     args = [layer, block_tables, context_lens, q_bd.astype(out_dtype),
-            cache.k, cache.v]
+            cache.kv]
     if cache.quantized:
-        args += [cache.k_scale, cache.v_scale]
+        args.append(cache.scale)
     out_flat = kernel(*args)
     # Original head i sits at permuted row (i % G) * KVH + i // G, in its
     # kv-head's column block: static slices + concat (a take_along_axis here

@@ -38,14 +38,13 @@ def _kernel(layer_ref, tables_ref, ctx_ref,          # scalar prefetch
             bs: int, row_dim: int, group: int, scale: float,
             quantized: bool, npage_steps: int):
     if quantized:
-        kv_refs = refs[: 2 * P]
-        sc_refs = refs[2 * P: 4 * P]
-        out_ref, m_ref, l_ref, acc_ref = refs[4 * P: 4 * P + 4]
-    else:
-        kv_refs = refs[: 2 * P]
-        sc_refs = None
+        kv_refs = refs[:P]
+        sc_refs = refs[P: 2 * P]
         out_ref, m_ref, l_ref, acc_ref = refs[2 * P: 2 * P + 4]
-    k_refs, v_refs = kv_refs[:P], kv_refs[P:]
+    else:
+        kv_refs = refs[:P]
+        sc_refs = None
+        out_ref, m_ref, l_ref, acc_ref = refs[P: P + 4]
 
     s_idx = pl.program_id(0)
     j = pl.program_id(1)
@@ -61,8 +60,9 @@ def _kernel(layer_ref, tables_ref, ctx_ref,          # scalar prefetch
     @pl.when(j * P * bs < ctx)
     def _():
         q_bd = qbd_ref[0]                              # (QH, row)
-        k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)  # (P*bs, row)
-        v = jnp.concatenate([r[0, 0] for r in v_refs], axis=0)
+        # Fused pages: block (1, 1, 2, bs, row) — plane 0 = K, plane 1 = V.
+        k = jnp.concatenate([r[0, 0, 0] for r in kv_refs], axis=0)  # (P*bs, row)
+        v = jnp.concatenate([r[0, 0, 1] for r in kv_refs], axis=0)
         if quantized:
             k = k.astype(jnp.bfloat16)
             v = v.astype(jnp.bfloat16)
@@ -71,8 +71,8 @@ def _kernel(layer_ref, tables_ref, ctx_ref,          # scalar prefetch
             q_bd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale     # (QH, P*bs)
         if quantized:
-            ks = jnp.concatenate([r[0, 0] for r in sc_refs[:P]], axis=1)
-            vs = jnp.concatenate([r[0, 0] for r in sc_refs[P:]], axis=1)
+            ks = jnp.concatenate([r[0, 0, 0] for r in sc_refs], axis=1)
+            vs = jnp.concatenate([r[0, 0, 1] for r in sc_refs], axis=1)
             s = s * pltpu.repeat(ks, group, axis=0)
         base = j * rows
         live = base + jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) < ctx
@@ -108,20 +108,18 @@ def _build(S, QH, hd, bs, row_dim, group, maxB, dtype, scale, quantized,
         def idx(s, j, layer_ref, tables_ref, ctx_ref):
             last = jnp.maximum(pl.cdiv(ctx_ref[s], bs) - 1, 0)
             page = tables_ref[s, jnp.minimum(j * P + p, last)]
-            return (layer_ref[0], page, 0, 0)
+            return (layer_ref[0], page, 0, 0, 0)
 
         return idx
 
     q_spec = pl.BlockSpec((1, QH, row_dim), lambda s, j, *_: (s, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_dtype = jnp.int8 if quantized else dtype
-    kv_specs = [pl.BlockSpec((1, 1, bs, row_dim), page_idx(p),
+    kv_specs = [pl.BlockSpec((1, 1, 2, bs, row_dim), page_idx(p),
                              memory_space=pltpu.VMEM) for p in range(P)]
-    in_specs = [q_spec] + kv_specs + kv_specs
+    in_specs = [q_spec] + kv_specs
     if quantized:
-        sc_specs = [pl.BlockSpec((1, 1, kvh, bs), page_idx(p),
-                                 memory_space=pltpu.VMEM) for p in range(P)]
-        in_specs += sc_specs + sc_specs
+        in_specs += [pl.BlockSpec((1, 1, 2, kvh, bs), page_idx(p),
+                                  memory_space=pltpu.VMEM) for p in range(P)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -151,7 +149,7 @@ def paged_decode_attention_v4(q, cache: KVCache, block_tables, context_lens,
                               layer, *, scale: float, interpret: bool = False):
     """Same contract as paged_decode_attention (grid-pipelined variant)."""
     S, QH, hd = q.shape
-    L, NB, bs, row_dim = cache.k.shape
+    L, NB, _, bs, row_dim = cache.kv.shape
     kvh = row_dim // hd
     group = QH // kvh
     maxB = block_tables.shape[1]
@@ -166,11 +164,11 @@ def paged_decode_attention_v4(q, cache: KVCache, block_tables, context_lens,
     kernel = _build(S, QH, hd, bs, row_dim, group, maxB, out_dtype,
                     float(scale), cache.quantized, interpret)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
-    # One operand per block spec: P views of each cache array.
+    # One operand per block spec: P views of each fused cache array.
     args = [layer, block_tables, context_lens, q_bd.astype(out_dtype)]
-    args += [cache.k] * P + [cache.v] * P
+    args += [cache.kv] * P
     if cache.quantized:
-        args += [cache.k_scale] * P + [cache.v_scale] * P
+        args += [cache.scale] * P
     out_flat = kernel(*args)
     parts = [out_flat[:, (i % group) * kvh + i // group, None,
                       (i // group) * hd:(i // group + 1) * hd]

@@ -35,11 +35,10 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
                     cq: int, bs: int, kvh: int, group: int, hd: int,
                     scale: float, quantized: bool):
     if quantized:
-        (k_hbm, v_hbm, ks_hbm, vs_hbm, out_ref,
-         k_buf, v_buf, ks_buf, vs_buf, sems) = refs
+        kv_hbm, sc_hbm, out_ref, kv_buf, sc_buf, sems = refs
     else:
-        k_hbm, v_hbm, out_ref, k_buf, v_buf, sems = refs
-        ks_hbm = vs_hbm = ks_buf = vs_buf = None
+        kv_hbm, out_ref, kv_buf, sems = refs
+        sc_hbm = sc_buf = None
     c = pl.program_id(0)
     layer = layer_ref[0]
     seq = chunk_seg_ref[c]
@@ -50,18 +49,13 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
     npages = pl.cdiv(kv_needed, bs)
 
     def page_dmas(slot, j, do_start):
+        # Fused layout: one copy per page covers the K and V planes.
         page = tables_ref[seq, j]
-        copies = [
-            pltpu.make_async_copy(k_hbm.at[layer, page], k_buf.at[slot],
-                                  sems.at[0, slot]),
-            pltpu.make_async_copy(v_hbm.at[layer, page], v_buf.at[slot],
-                                  sems.at[1, slot]),
-        ]
+        copies = [pltpu.make_async_copy(
+            kv_hbm.at[layer, page], kv_buf.at[slot], sems.at[0, slot])]
         if quantized:
             copies.append(pltpu.make_async_copy(
-                ks_hbm.at[layer, page], ks_buf.at[slot], sems.at[2, slot]))
-            copies.append(pltpu.make_async_copy(
-                vs_hbm.at[layer, page], vs_buf.at[slot], sems.at[3, slot]))
+                sc_hbm.at[layer, page], sc_buf.at[slot], sems.at[1, slot]))
         for cp in copies:
             (cp.start if do_start else cp.wait)()
 
@@ -92,8 +86,8 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
         for i in range(nq):
             h = i // group
             q_i = q_ref[:, i, :]                          # (CQ, hd)
-            k_h = k_buf[slot, :, h * hd:(h + 1) * hd]     # (bs, hd) column slice
-            v_h = v_buf[slot, :, h * hd:(h + 1) * hd]
+            k_h = kv_buf[slot, 0, :, h * hd:(h + 1) * hd]  # (bs, hd) col slice
+            v_h = kv_buf[slot, 1, :, h * hd:(h + 1) * hd]
             if quantized:
                 k_h = k_h.astype(jnp.bfloat16)
                 v_h = v_h.astype(jnp.bfloat16)
@@ -101,7 +95,7 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
                 q_i, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale   # (CQ, bs)
             if quantized:
-                s = s * ks_buf[slot, h:h + 1, :]              # (1, bs) bcast
+                s = s * sc_buf[slot, 0, h:h + 1, :]           # (1, bs) bcast
             s = jnp.where(live, s, NEG_INF)
             m_new = jnp.maximum(ms[i], jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -111,7 +105,7 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
             # V matmul only.
             ls2.append(ls[i] * corr + jnp.sum(p, axis=-1, keepdims=True))
             if quantized:
-                p = p * vs_buf[slot, h:h + 1, :]
+                p = p * sc_buf[slot, 1, h:h + 1, :]
             pv = jax.lax.dot_general(
                 p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (CQ, hd)
@@ -136,20 +130,16 @@ def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, quantized,
     in_specs = [
         pl.BlockSpec((cq, QH, hd), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((N_BUF, bs, kvh * hd), jnp.int8 if quantized else dtype),
-        pltpu.VMEM((N_BUF, bs, kvh * hd), jnp.int8 if quantized else dtype),
+        pltpu.VMEM((N_BUF, 2, bs, kvh * hd), jnp.int8 if quantized else dtype),
     ]
-    nsems = 2
+    nsems = 1
     if quantized:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
-                     pl.BlockSpec(memory_space=pltpu.ANY)]
-        scratch += [pltpu.VMEM((N_BUF, kvh, bs), jnp.float32),
-                    pltpu.VMEM((N_BUF, kvh, bs), jnp.float32)]
-        nsems = 4
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((N_BUF, 2, kvh, bs), jnp.float32))
+        nsems = 2
     scratch.append(pltpu.SemaphoreType.DMA((nsems, N_BUF)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -177,7 +167,7 @@ def ragged_prefill_attention(q, cache: KVCache, chunk_seg, chunk_pos,
     Returns (T, QH, hd). The pallas_call is memoized on shapes (one Mosaic
     lowering per shape, shared across layers and steps)."""
     T, QH, hd = q.shape
-    _, _, bs, row = cache.k.shape
+    _, _, _, bs, row = cache.kv.shape
     kvh = row // hd
     group = QH // kvh
     out_dtype = jnp.dtype(jnp.bfloat16) if cache.quantized else jnp.dtype(q.dtype)
@@ -185,7 +175,7 @@ def ragged_prefill_attention(q, cache: KVCache, chunk_seg, chunk_pos,
                            float(scale), cache.quantized, interpret)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     args = [layer, chunk_seg, chunk_pos, block_tables, context_lens,
-            q.astype(out_dtype), cache.k, cache.v]
+            q.astype(out_dtype), cache.kv]
     if cache.quantized:
-        args += [cache.k_scale, cache.v_scale]
+        args.append(cache.scale)
     return kernel(*args).astype(q.dtype)

@@ -29,9 +29,20 @@ def quantize_weight(w, axis: int = -2, eps: float = 1e-8):
 
 
 def quant_matmul(x, w, scale=None):
-    """y = x @ w with optional fused int8 dequant epilogue."""
+    """y = x @ w with a fused int8 dequant epilogue.
+
+    On TPU the int8 path is a Pallas kernel that converts weight tiles
+    int8->bf16 in VMEM (ops/pallas/quant_matmul.py) — the weight's HBM
+    traffic actually halves. Elsewhere (CPU tests) it falls back to an XLA
+    dequant-then-dot, which is numerically identical."""
     if scale is None:
         return x @ w
+    import jax
+
+    if jax.default_backend() == "tpu" and x.ndim == 2:
+        from nanovllm_tpu.ops.pallas.quant_matmul import int8_matmul
+
+        return int8_matmul(x, w, scale)
     y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     return (y * scale).astype(x.dtype)
 

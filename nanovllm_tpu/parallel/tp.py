@@ -145,14 +145,14 @@ def vl_param_pspecs(vspec, params: dict, tp: int | None = None) -> dict:
 
 
 def kv_cache_pspec(quantized: bool = False):
-    """KVCache pspecs: values (L, NB, bs, KVH*hd) shard the flat feature
-    axis (contiguous column blocks are whole kv heads); int8 scales
-    (L, NB, KVH, bs) shard the kv-head axis."""
+    """KVCache pspecs (fused layout): values (L, NB, 2, bs, KVH*hd) shard
+    the flat feature axis (contiguous column blocks are whole kv heads);
+    int8 scales (L, NB, 2, KVH, bs) shard the kv-head axis."""
     from nanovllm_tpu.ops.attention import KVCache
 
-    val = P(None, None, None, TP_AXIS)
-    sc = P(None, None, TP_AXIS, None) if quantized else None
-    return KVCache(val, val, sc, sc)
+    val = P(None, None, None, None, TP_AXIS)
+    sc = P(None, None, None, TP_AXIS, None) if quantized else None
+    return KVCache(val, sc)
 
 
 def _shard_major(arr, seg_sizes, tp: int, axis: int = -1):

@@ -64,7 +64,7 @@ def build_case(seed, ctx_lens, q_lens):
         last_token_idx=jnp.zeros(S, jnp.int32),
         chunk_seg=jnp.asarray(chunk_seg),
         num_seqs=jnp.asarray(len(ctx_lens)))
-    return jnp.asarray(q), KVCache(jnp.asarray(k_cache), jnp.asarray(v_cache)), meta
+    return jnp.asarray(q), KVCache.build(jnp.asarray(k_cache), jnp.asarray(v_cache)), meta
 
 
 def real_rows_for(q_lens):
@@ -116,7 +116,7 @@ def test_blockwise_decode_matches_reference():
         last_token_idx=jnp.arange(S, dtype=jnp.int32),
         chunk_seg=jnp.zeros(1, jnp.int32),
         num_seqs=jnp.asarray(S))
-    cache = KVCache(k_cache, v_cache)
+    cache = KVCache.build(k_cache, v_cache)
     ref = ragged_attention_reference(q, cache, meta, HD ** -0.5)
     out = paged_decode_attention_jnp(q, cache, meta.block_tables,
                                      meta.context_lens, HD ** -0.5)
@@ -152,7 +152,7 @@ def test_pallas_decode_kernel_matches_reference():
         last_token_idx=jnp.arange(S, dtype=jnp.int32),
         chunk_seg=jnp.zeros(1, jnp.int32),
         num_seqs=jnp.asarray(S))
-    lcache = KVCache(_layered(k_cache), _layered(v_cache))
+    lcache = KVCache.build(_layered(k_cache), _layered(v_cache))
     ref = ragged_attention_reference(q, lcache, meta, HD ** -0.5, layer=1)
     out = paged_decode_attention(q, lcache,
                                  meta.block_tables, meta.context_lens,
@@ -179,7 +179,7 @@ def test_pallas_prefill_kernel_matches_reference():
         t += a
     C = len(pos) // CHUNK
     chunk_pos = jnp.asarray(pos.reshape(C, CHUNK)[:, 0])
-    lcache = KVCache(_layered(cache.k), _layered(cache.v))
+    lcache = KVCache.build(_layered(cache.k), _layered(cache.v))
     ref = ragged_attention_reference(q, lcache, meta, HD ** -0.5, layer=1)
     out = ragged_prefill_attention(
         q, lcache, meta.chunk_seg, chunk_pos,
@@ -192,8 +192,8 @@ def test_pallas_prefill_kernel_matches_reference():
 
 def test_write_kv_roundtrip():
     rng = np.random.default_rng(5)
-    cache = KVCache(jnp.zeros((8, BS, KVH * HD), jnp.float32),
-                    jnp.zeros((8, BS, KVH * HD), jnp.float32))
+    cache = KVCache.build(jnp.zeros((8, BS, KVH * HD), jnp.float32),
+                          jnp.zeros((8, BS, KVH * HD), jnp.float32))
     T = 10
     slots = jnp.asarray(rng.choice(8 * BS, size=T, replace=False).astype(np.int32))
     k = jnp.asarray(rng.standard_normal((T, KVH, HD), dtype=np.float32))

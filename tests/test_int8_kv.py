@@ -21,11 +21,8 @@ QH = KVH * G
 
 
 def make_caches(nblocks, layers=1):
-    shape = (layers, nblocks, BS, KVH * HD)
-    sshape = (layers, nblocks, KVH, BS)
-    fp = KVCache(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
-    q8 = KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
-                 jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32))
+    fp = KVCache.zeros(layers, nblocks, BS, KVH, HD, jnp.float32)
+    q8 = KVCache.zeros(layers, nblocks, BS, KVH, HD, quantized=True)
     return fp, q8
 
 

@@ -58,11 +58,11 @@ def test_scaling_changes_logits():
     from tests.test_tp import make_meta
 
     meta = make_meta(S=4, maxB=4, bs=16, chunk=16, ctx=16, n_seqs=1, T=16)
-    shape = (2, 17, 16, spec.kv_size)
     ids = jnp.arange(16, dtype=jnp.int32) % 128
 
     def run(sp):
-        cache = KVCache(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+        cache = KVCache.zeros(2, 17, 16, sp.num_kv_heads, sp.head_dim,
+                              jnp.float32)
         hidden, _ = dense.forward(sp, params, ids, meta, cache)
         return np.asarray(dense.compute_logits(sp, params, hidden))
 

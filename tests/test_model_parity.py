@@ -36,9 +36,8 @@ def run_engine_logits(spec, params, prompts, n_decode=3, hf_next_tokens=None):
     for s in seqs:
         bm.allocate(s)
 
-    cache = KVCache(
-        jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32),
-        jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32))
+    cache = KVCache.zeros(spec.num_layers, NBLOCKS, BLOCK,
+                          spec.num_kv_heads, spec.head_dim, jnp.float32)
 
     def step(batch, cache):
         meta = AttnMeta(
@@ -170,9 +169,8 @@ def test_prefix_cache_reuse_matches_fresh_compute():
     hf_steps, _ = hf_reference_logits(model, [p2], 0, rng)
 
     bm = BlockManager(NBLOCKS - 1, BLOCK)
-    cache = KVCache(
-        jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32),
-        jnp.zeros((spec.num_layers, NBLOCKS, BLOCK, spec.num_kv_heads * spec.head_dim), jnp.float32))
+    cache = KVCache.zeros(spec.num_layers, NBLOCKS, BLOCK,
+                          spec.num_kv_heads, spec.head_dim, jnp.float32)
 
     def run_prefill(seq, cache):
         batch = prepare_batch([seq], True, block_size=BLOCK,

@@ -48,8 +48,8 @@ def test_moe_prefill_and_decode_parity():
     seqs = [Sequence(list(p), SamplingParams(), block_size=BLOCK) for p in prompts]
     for s in seqs:
         bm.allocate(s)
-    shape = (2, NBLOCKS, BLOCK, spec.base.num_kv_heads * spec.base.head_dim)
-    cache = KVCache(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    cache = KVCache.zeros(2, NBLOCKS, BLOCK, spec.base.num_kv_heads,
+                          spec.base.head_dim, jnp.float32)
 
     def run(batch, cache):
         meta = AttnMeta(*[jnp.asarray(x) for x in

@@ -70,10 +70,11 @@ def test_tp8_matches_single_device(setup):
     T = 32  # 2 seqs x 16 tokens
     meta = make_meta(S, maxB, bs, chunk, ctx=16, n_seqs=2, T=T)
     ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, T, dtype=np.int32))
-    shape = (spec.num_layers, nblocks, bs, spec.num_kv_heads * spec.head_dim)
+    shape = (spec.num_layers, nblocks, 2, bs,
+             spec.num_kv_heads * spec.head_dim)
 
     # single-device reference
-    c1 = KVCache(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    c1 = KVCache(jnp.zeros(shape, jnp.float32))
     hidden, c1 = dense.forward(spec, params, ids, meta, c1)
     ref_logits = dense.compute_logits(spec, params, hidden)
 
@@ -83,9 +84,8 @@ def test_tp8_matches_single_device(setup):
     tparams = tplib.reorder_params_for_tp(jax.tree.map(np.asarray, params), spec, TP)
     pspecs = tplib.param_pspecs(spec, tparams)
     tparams = tplib.shard_params(tparams, spec, mesh)
-    kvs = NamedSharding(mesh, tplib.kv_cache_pspec().k)
-    c8 = KVCache(jax.device_put(jnp.zeros(shape, jnp.float32), kvs),
-                 jax.device_put(jnp.zeros(shape, jnp.float32), kvs))
+    kvs = NamedSharding(mesh, tplib.kv_cache_pspec().kv)
+    c8 = KVCache(jax.device_put(jnp.zeros(shape, jnp.float32), kvs))
 
     prefill, _ = build_tp_step(mesh, spec, lspec, pspecs=pspecs)
     temps = jnp.zeros((S,), jnp.float32)  # greedy

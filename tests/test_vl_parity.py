@@ -128,9 +128,9 @@ def test_full_multimodal_prefill_parity():
         last_token_idx=jnp.arange(2, dtype=jnp.int32) * 0 + jnp.asarray([T - 1, 0]),
         chunk_seg=jnp.zeros(1, jnp.int32),
         num_seqs=jnp.asarray(1))
-    shape = (spec.text.num_layers, nblocks, bs_,
-             spec.text.num_kv_heads * spec.text.head_dim)
-    cache = KVCache(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    cache = KVCache.zeros(spec.text.num_layers, nblocks, bs_,
+                          spec.text.num_kv_heads, spec.text.head_dim,
+                          jnp.float32)
     extras = {"mm_embeds": jnp.asarray(mm_embeds),
               "visual_mask": jnp.asarray(visual_mask),
               "deepstack": jnp.asarray(deepstack),

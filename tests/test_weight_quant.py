@@ -62,3 +62,18 @@ def test_quantize_params_structure():
     assert qp["layers"]["wqkv_scale"].shape == (2, spec.qkv_size)
     assert qp["lm_head"].dtype == jnp.int8
     assert qp["embed"].dtype == jnp.float32  # embeddings stay high precision
+
+
+def test_pallas_int8_matmul_matches_xla_path():
+    # Interpreter-mode check of the fused dequant kernel against the plain
+    # XLA dequant-then-dot (identical math, different data movement).
+    from nanovllm_tpu.ops.pallas.quant_matmul import int8_matmul
+
+    rng = np.random.default_rng(3)
+    T, K, N = 16, 256, 128
+    x = jnp.asarray(rng.standard_normal((T, K), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((K, N), dtype=np.float32)) * 0.05
+    q, s = quantize_weight(w)
+    ref = np.asarray(quant_matmul(x, q, s))
+    got = np.asarray(int8_matmul(x, q, s, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

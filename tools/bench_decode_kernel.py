@@ -1,7 +1,10 @@
 """Microbench of the paged decode attention kernel alone (no model), on TPU.
 
 Times `layers` back-to-back kernel invocations (as the per-layer scan does)
-for several context lengths and reports effective KV bandwidth.
+for several context lengths and reports effective KV bandwidth against the
+chip's ~800 GiB/s. Usage:
+    python tools/bench_decode_kernel.py --kernel v3 --dtype bf16
+    python tools/bench_decode_kernel.py --kernel v4 --dtype int8
 """
 
 import argparse
@@ -24,28 +27,45 @@ def main():
     p.add_argument("--blocks", type=int, default=360)
     p.add_argument("--ctxs", default="256,1024,2048")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--kernel", default="v3", choices=["v3", "v4"])
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    from nanovllm_tpu.ops.attention import KVCache
     from nanovllm_tpu.ops.pallas.decode_attention import paged_decode_attention
+    from nanovllm_tpu.ops.pallas.decode_attention_v4 import \
+        paged_decode_attention_v4
+
+    attn = paged_decode_attention if args.kernel == "v3" \
+        else paged_decode_attention_v4
 
     S, bs, kvh, hd = args.S, args.bs, args.kvh, args.hd
     QH = kvh * args.group
     L = 2  # small stack; bandwidth behavior is per-page, layer count emulated
     maxB = 8
     rng = np.random.default_rng(0)
-    k = jnp.asarray(rng.standard_normal((L, args.blocks, bs, kvh * hd)).astype(np.float32)).astype(jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((L, args.blocks, bs, kvh * hd)).astype(np.float32)).astype(jnp.bfloat16)
-    q = jnp.asarray(rng.standard_normal((S, QH, hd)).astype(np.float32)).astype(jnp.bfloat16)
+    vshape = (L, args.blocks, 2, bs, kvh * hd)
+    if args.dtype == "int8":
+        cache = KVCache(
+            jnp.asarray(rng.integers(-127, 127, vshape, dtype=np.int8)),
+            jnp.asarray(rng.random((L, args.blocks, 2, kvh, bs),
+                                   dtype=np.float32) * 0.01))
+        itemsize = 1
+    else:
+        cache = KVCache(jnp.asarray(
+            rng.standard_normal(vshape).astype(np.float32)).astype(jnp.bfloat16))
+        itemsize = 2
+    q = jnp.asarray(rng.standard_normal((S, QH, hd)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
 
     @jax.jit
-    def run(q, k, v, tables, ctx):
+    def run(q, cache, tables, ctx):
         out = q
         for i in range(args.layers):
-            out = paged_decode_attention(out, k, v, tables, ctx,
-                                         i % L, scale=hd ** -0.5)
+            out = attn(out, cache, tables, ctx, i % L, scale=hd ** -0.5)
         return out
 
     for ctx_len in [int(x) for x in args.ctxs.split(",")]:
@@ -55,17 +75,17 @@ def main():
             tables[i, :npages] = (np.arange(npages) * S + i) % args.blocks
         tables = jnp.asarray(tables)
         ctx = jnp.full((S,), ctx_len, jnp.int32)
-        out = run(q, k, v, tables, ctx)
+        out = run(q, cache, tables, ctx)
         out.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = run(q, k, v, tables, ctx)
+            out = run(q, cache, tables, ctx)
         out.block_until_ready()
         dt = (time.perf_counter() - t0) / args.iters
-        bytes_moved = 2 * args.layers * S * npages * bs * kvh * hd * 2
+        bytes_moved = 2 * args.layers * S * npages * bs * kvh * hd * itemsize
         per_iter = dt / (args.layers * S * max(npages // 2, 1)) * 1e6
-        print(f"ctx={ctx_len}: {dt*1e3:.2f} ms for {args.layers} layers "
-              f"-> {bytes_moved/dt/2**30:.0f} GiB/s, "
+        print(f"[{args.kernel}/{args.dtype}] ctx={ctx_len}: {dt*1e3:.2f} ms "
+              f"for {args.layers} layers -> {bytes_moved/dt/2**30:.0f} GiB/s, "
               f"{per_iter:.1f} us/page-pair-iter", flush=True)
 
 
