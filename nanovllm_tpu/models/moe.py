@@ -13,9 +13,15 @@ contributions combine with a psum — expert parallelism without an
 all-to-all (activations replicated, the right trade at inference batch
 sizes on ICI).
 
-Restriction: layers must be uniformly sparse (Qwen3-30B-A3B style,
-`mlp_only_layers == []` and `decoder_sparse_step == 1`) so the decoder runs
-as one lax.scan; dense/sparse interleaves raise at spec build.
+Dense/sparse layer interleaves (`mlp_only_layers`, `decoder_sparse_step` —
+reference qwen3_moe.py:208-218) keep the single homogeneous lax.scan via an
+exact algebraic identity: a dense SwiGLU MLP of width I_dense decomposes
+into m = I_dense / I_moe independent SwiGLU "experts" whose outputs sum —
+silu(x G) * (x U) @ W = sum_j (silu(x G_j) * (x U_j)) @ W_j for column
+chunks G_j/U_j and row chunks W_j. A dense layer is therefore stored as m
+chunk-experts in the same (E, D, 2I) stack and routed with a FIXED uniform
+assignment (weight 1 each), selected per layer by an `is_sparse` flag in
+the scanned params — no second code path, no wasted weight memory.
 """
 
 from __future__ import annotations
@@ -41,6 +47,10 @@ class MoESpec:
     top_k: int = 8
     moe_intermediate_size: int = 768
     norm_topk_prob: bool = True
+    # dense/sparse interleave (reference qwen3_moe.py:208-218): layer i is
+    # sparse iff i not in mlp_only_layers and (i+1) % decoder_sparse_step == 0
+    mlp_only_layers: tuple = ()
+    decoder_sparse_step: int = 1
     # expert-parallel mesh axis (set inside shard_map); base.tp_axis may be
     # set independently for the attention/dense parts
     ep_axis: Optional[str] = None
@@ -52,6 +62,29 @@ class MoESpec:
         return self.num_local_experts if self.num_local_experts > 0 \
             else self.num_experts
 
+    @property
+    def sparse_mask(self) -> tuple:
+        return tuple(
+            i not in self.mlp_only_layers and self.num_experts > 0
+            and (i + 1) % self.decoder_sparse_step == 0
+            for i in range(self.base.num_layers))
+
+    @property
+    def uniform_sparse(self) -> bool:
+        return all(self.sparse_mask)
+
+    @property
+    def dense_chunks(self) -> int:
+        """Chunk-experts a dense (mlp-only) layer decomposes into."""
+        return self.base.intermediate_size // self.moe_intermediate_size
+
+    @property
+    def route_k(self) -> int:
+        """Static routing width: top_k, widened so a dense layer's fixed
+        uniform assignment fits."""
+        return self.top_k if self.uniform_sparse \
+            else max(self.top_k, self.dense_chunks)
+
 
 def moe_block(spec: MoESpec, lp, x):
     """Sparse MLP. x: (T, D) -> (T, D).
@@ -59,12 +92,27 @@ def moe_block(spec: MoESpec, lp, x):
     lp: router (D, E_global), w_gate_up (E_local, D, 2*I), w_down
     (E_local, I, D)."""
     T, D = x.shape
-    K = spec.top_k
+    K = spec.route_k
     logits = (x @ lp["router"]).astype(jnp.float32)      # (T, E)
     probs = jax.nn.softmax(logits, axis=-1)
-    weights, idx = jax.lax.top_k(probs, K)               # (T, K)
+    weights, idx = jax.lax.top_k(probs, spec.top_k)      # (T, top_k)
     if spec.norm_topk_prob:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    if K > spec.top_k:                                   # widen for interleave
+        pad = K - spec.top_k
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((T, pad), weights.dtype)], axis=1)
+        idx = jnp.concatenate([idx, jnp.zeros((T, pad), idx.dtype)], axis=1)
+    if not spec.uniform_sparse:
+        # Dense (mlp-only) layers: fixed uniform routing to the m
+        # chunk-experts that exactly reconstruct the dense SwiGLU MLP.
+        m = spec.dense_chunks
+        cols = jnp.arange(K, dtype=idx.dtype)
+        idx_d = jnp.broadcast_to(jnp.where(cols < m, cols, 0), (T, K))
+        w_d = jnp.broadcast_to((cols < m).astype(weights.dtype), (T, K))
+        sparse = lp["is_sparse"] > 0
+        idx = jnp.where(sparse, idx, idx_d)
+        weights = jnp.where(sparse, weights, w_d)
 
     flat_expert = idx.reshape(-1)                        # (T*K,)
     order = jnp.argsort(flat_expert)
@@ -173,18 +221,24 @@ def compute_logits(spec: MoESpec, params, hidden):
 
 def spec_from_hf(cfg, max_model_len=None) -> MoESpec:
     base = dense.spec_from_hf(cfg, max_model_len=max_model_len)
-    if list(getattr(cfg, "mlp_only_layers", []) or []) or \
-            getattr(cfg, "decoder_sparse_step", 1) != 1:
-        raise NotImplementedError(
-            "dense/sparse layer interleaves are not supported yet "
-            "(mlp_only_layers / decoder_sparse_step)")
-    return MoESpec(
+    spec = MoESpec(
         base=base,
         num_experts=cfg.num_experts,
         top_k=cfg.num_experts_per_tok,
         moe_intermediate_size=cfg.moe_intermediate_size,
         norm_topk_prob=bool(getattr(cfg, "norm_topk_prob", False)),
+        mlp_only_layers=tuple(getattr(cfg, "mlp_only_layers", []) or []),
+        decoder_sparse_step=int(getattr(cfg, "decoder_sparse_step", 1)),
     )
+    if not spec.uniform_sparse:
+        if base.intermediate_size % spec.moe_intermediate_size:
+            raise NotImplementedError(
+                "mlp_only interleave needs intermediate_size divisible by "
+                "moe_intermediate_size for the chunk-expert decomposition")
+        if spec.dense_chunks > spec.num_experts:
+            raise NotImplementedError(
+                "dense MLP wider than the whole expert stack")
+    return spec
 
 
 def init_params(spec: MoESpec, key, dtype=jnp.bfloat16, rope_scaling=None):
@@ -207,6 +261,8 @@ def init_params(spec: MoESpec, key, dtype=jnp.bfloat16, rope_scaling=None):
         "w_gate_up": rnd(ks[3], (L, E, D, 2 * I)),
         "w_down": rnd(ks[4], (L, E, I, D)),
     }
+    if not spec.uniform_sparse:
+        layers["is_sparse"] = jnp.asarray(spec.sparse_mask, jnp.float32)
     if b.qk_norm:
         layers["q_norm"] = jnp.ones((L, b.head_dim), dtype)
         layers["k_norm"] = jnp.ones((L, b.head_dim), dtype)

@@ -109,6 +109,7 @@ def moe_param_pspecs(mspec, params: dict | None = None,
         "router": P(),
         "w_gate_up": exp,
         "w_down": exp,
+        "is_sparse": P(),
     })
     return prune_to(params, base) if params is not None else base
 

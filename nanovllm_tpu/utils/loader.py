@@ -175,6 +175,8 @@ def load_moe_params(
         "w_gate_up": buf((L, E, D, 2 * I)),
         "w_down": buf((L, E, I, D)),
     }
+    if not spec.uniform_sparse:
+        layers["is_sparse"] = np.asarray(spec.sparse_mask, dtype=np.float32)
     if b.qk_norm:
         layers["q_norm"] = buf((L, b.head_dim))
         layers["k_norm"] = buf((L, b.head_dim))
@@ -221,6 +223,22 @@ def load_moe_params(
                     layers["w_gate_up"][i, e][:, I:] = tensor.T
                 elif wname == "down_proj.weight":
                     layers["w_down"][i, e] = tensor.T
+                continue
+            if suffix in ("mlp.gate_proj.weight", "mlp.up_proj.weight",
+                          "mlp.down_proj.weight"):
+                # Dense (mlp_only / non-sparse-step) layer: store the SwiGLU
+                # MLP as I_dense/I_moe chunk-experts (models/moe.py
+                # decomposition) — gate/up split by columns, down by rows.
+                m = spec.dense_chunks
+                for j in range(m):
+                    if suffix == "mlp.gate_proj.weight":
+                        layers["w_gate_up"][i, j][:, :I] = \
+                            tensor[j * I:(j + 1) * I].T
+                    elif suffix == "mlp.up_proj.weight":
+                        layers["w_gate_up"][i, j][:, I:] = \
+                            tensor[j * I:(j + 1) * I].T
+                    else:
+                        layers["w_down"][i, j] = tensor[:, j * I:(j + 1) * I].T
                 continue
             entry = col.get(suffix)
             if entry is None:

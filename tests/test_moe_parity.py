@@ -18,7 +18,7 @@ BLOCK, NBLOCKS, MAXB, S = 16, 64, 8, 4
 BUCKETS = (64, 128)
 
 
-def make_tiny_moe():
+def make_tiny_moe(mlp_only_layers=(), decoder_sparse_step=1, layers=2):
     import torch
     from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
 
@@ -26,8 +26,9 @@ def make_tiny_moe():
     cfg = Qwen3MoeConfig(
         vocab_size=128, hidden_size=64, intermediate_size=128,
         moe_intermediate_size=32, num_experts=8, num_experts_per_tok=3,
-        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[],
-        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        norm_topk_prob=True, decoder_sparse_step=decoder_sparse_step,
+        mlp_only_layers=list(mlp_only_layers),
+        num_hidden_layers=layers, num_attention_heads=4, num_key_value_heads=2,
         head_dim=16, max_position_embeddings=128, tie_word_embeddings=False,
         architectures=["Qwen3MoeForCausalLM"],
     )
@@ -84,6 +85,42 @@ def test_moe_prefill_and_decode_parity():
                               max_num_seqs=S, blocks_per_seq=MAXB, token_buckets=BUCKETS, chunk=16)
         ours, cache = run(batch, cache)
         np.testing.assert_allclose(ours[:2], hf_logits[step], rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("mlp_only,step", [((1,), 1), ((), 2)])
+def test_moe_dense_sparse_interleave_parity(mlp_only, step):
+    """mlp_only_layers / decoder_sparse_step (reference qwen3_moe.py:208-218):
+    dense layers run through the chunk-expert decomposition and must match
+    HF's real dense MLP exactly."""
+    import torch
+
+    cfg, model = make_tiny_moe(mlp_only_layers=mlp_only,
+                               decoder_sparse_step=step, layers=3)
+    spec = moe.spec_from_hf(cfg, max_model_len=128)
+    assert not spec.uniform_sparse
+    params = load_moe_params(spec, model.state_dict(), dtype=jnp.float32)
+
+    rng = np.random.default_rng(9)
+    prompt = list(rng.integers(1, 127, size=13))
+    with torch.no_grad():
+        hf = model(torch.tensor([prompt])).logits[0, -1].float().numpy()
+
+    bm = BlockManager(NBLOCKS - 1, BLOCK)
+    seq = Sequence(list(prompt), SamplingParams(), block_size=BLOCK)
+    bm.allocate(seq)
+    cache = KVCache.zeros(3, NBLOCKS, BLOCK, spec.base.num_kv_heads,
+                          spec.base.head_dim, jnp.float32)
+    batch = prepare_batch([seq], True, block_size=BLOCK,
+                          dummy_slot=(NBLOCKS - 1) * BLOCK, max_num_seqs=S,
+                          blocks_per_seq=MAXB, token_buckets=BUCKETS, chunk=16)
+    meta = AttnMeta(*[jnp.asarray(x) for x in
+                      (batch.seg_ids, batch.positions, batch.slot_mapping,
+                       batch.block_tables, batch.context_lens,
+                       batch.last_token_idx, batch.chunk_seg, batch.num_seqs)])
+    hidden, _ = moe.forward(spec, params, jnp.asarray(batch.input_ids),
+                            meta, cache)
+    ours = np.asarray(moe.compute_logits(spec, params, hidden))
+    np.testing.assert_allclose(ours[0], hf, rtol=5e-4, atol=5e-4)
 
 
 def test_moe_engine_e2e():
