@@ -40,6 +40,13 @@ class Config:
     # single chip validate the multi-chip code path)
     native_runtime: str = "auto"  # auto | on | off: C++ block manager
     prefill_chunk: int = 128  # query-chunk alignment of the prefill layout
+    # Chunked-prefill interleaving: cap prefill work per step and run decode
+    # lanes in the SAME step (mixed phase) so bursts of long prompts don't
+    # monopolize steps (round-1 TTFT p99 = 13.4 s pathology). Auto-disabled
+    # for multimodal models (vision-slice streaming assumes whole-suffix
+    # prefills).
+    chunked_prefill: bool = True
+    prefill_step_tokens: int = 2048  # prefill-token cap per mixed step
     use_graph_cache: bool = True  # persistent XLA compilation cache
     compile_cache_dir: str = os.path.expanduser("~/.cache/nanovllm_tpu_xla")
     prefill_token_buckets: tuple = _BUCKET_DEFAULT
@@ -67,14 +74,29 @@ class Config:
         arch = (getattr(self.hf_config, "architectures", None) or [""])[0]
         if "VL" in arch or hasattr(self.hf_config, "vision_config"):
             self.is_multimodal = True
+        if self.is_multimodal:
+            self.chunked_prefill = False  # vision-slice streaming needs
+            # whole-suffix prefill windows (adapter prepare_extras contract)
         # The budget must cover one max-length prompt after chunk alignment.
         aligned_max = -(-self.max_model_len // self.prefill_chunk) * self.prefill_chunk
         self.max_num_batched_tokens = max(self.max_num_batched_tokens, aligned_max)
+        if self.chunked_prefill:
+            # Window cap must be chunk-aligned and within the token budget.
+            cap = -(-self.prefill_step_tokens // self.prefill_chunk) * self.prefill_chunk
+            self.prefill_step_tokens = min(cap, self.max_num_batched_tokens)
         # Prefill buckets must cover the full budget.
         buckets = sorted(b for b in self.prefill_token_buckets if b <= self.max_num_batched_tokens)
         if not buckets or buckets[-1] < self.max_num_batched_tokens:
             buckets.append(self.max_num_batched_tokens)
         self.prefill_token_buckets = tuple(buckets)
+        if self.chunked_prefill:
+            # Under chunking no step carries more prefill tokens than the
+            # cap: buckets above it are dead shapes (wasted warmup compiles).
+            buckets = [b for b in self.prefill_token_buckets
+                       if b <= self.prefill_step_tokens]
+            if not buckets or buckets[-1] < self.prefill_step_tokens:
+                buckets.append(self.prefill_step_tokens)
+            self.prefill_token_buckets = tuple(buckets)
 
     def _resolve_hf_config(self):
         from transformers import AutoConfig, PretrainedConfig

@@ -46,6 +46,33 @@ class HostBatch:
     num_tokens: int           # live tokens
     is_prefill: bool
     seq_token_offsets: list = None  # per-seq start row in the token layout
+    phase: str = None         # "prefill" | "decode" | "mixed"
+    decode_ctx: np.ndarray = None  # (S,) int32, mixed steps only
+
+
+@dataclass
+class StepPlan:
+    """One engine step's work: prefill windows + decode lanes.
+
+    Chunked-prefill interleaving (absent in the reference — its prefills
+    monopolize whole steps, the round-1 TTFT p99 pathology): a step can carry
+    partial prompt windows AND single-token decode lanes; the unified token
+    layout runs both through one forward pass with the attention split per
+    region. `prefill` entries are (seq, start, span): KV rows
+    [start, start+span) get computed this step; the sequence emits a token
+    only when start+span == len(seq)."""
+
+    prefill: list            # [(Sequence, start, span)]
+    decode: list             # [Sequence]
+    phase: str               # "prefill" | "decode" | "mixed"
+
+    @property
+    def seqs(self):
+        return [s for s, _, _ in self.prefill] + list(self.decode)
+
+    @property
+    def is_empty(self):
+        return not self.prefill and not self.decode
 
 
 def pick_bucket(n: int, buckets: Seq[int]) -> int:
@@ -63,6 +90,116 @@ def prefill_cost(seq: Sequence, chunk: int) -> int:
     """Device tokens a sequence's prefill will occupy (chunk-aligned).
     The scheduler budgets with this so batches always fit a bucket."""
     return align_up(len(seq) - seq.num_cached_tokens, chunk)
+
+
+def prepare_plan(
+    plan: StepPlan,
+    *,
+    block_size: int,
+    dummy_slot: int,
+    max_num_seqs: int,
+    blocks_per_seq: int,
+    token_buckets: Seq[int],
+    chunk: int = 128,
+) -> HostBatch:
+    """StepPlan -> fixed-shape arrays. Token layout: [prefill region | decode
+    region]. The prefill region is the chunk-aligned windows (bucketed); the
+    decode region, present only in mixed/decode phases, is S single-token
+    rows where row Tp+i belongs to slot i (padding rows for prefilling
+    slots carry decode_ctx 0 so the decode kernel skips them)."""
+    S = max_num_seqs
+    n_p, n_d = len(plan.prefill), len(plan.decode)
+    n = n_p + n_d
+    assert 0 < n <= S
+
+    if n_p:
+        n_ptok = sum(align_up(span, chunk) for _, _, span in plan.prefill)
+        Tp = pick_bucket(n_ptok, token_buckets)
+    else:
+        n_ptok = 0
+        Tp = 0
+    has_decode = n_d > 0
+    T = Tp + (S if has_decode else 0)
+
+    pad_slot = n if n < S else 0
+    input_ids = np.zeros(T, dtype=np.int32)
+    seg_ids = np.full(T, pad_slot, dtype=np.int32)
+    positions = np.zeros(T, dtype=np.int32)
+    slot_mapping = np.full(T, dummy_slot, dtype=np.int32)
+    block_tables = np.zeros((S, blocks_per_seq), dtype=np.int32)
+    context_lens = np.zeros(S, dtype=np.int32)
+    last_token_idx = np.zeros(S, dtype=np.int32)
+    chunk_seg = np.full(max(Tp // chunk, 1), pad_slot, dtype=np.int32)
+    temperatures = np.ones(S, dtype=np.float32)
+    top_k = np.zeros(S, dtype=np.int32)
+    top_p = np.ones(S, dtype=np.float32)
+    # decode_ctx only exists for MIXED steps: a pure decode step's
+    # context_lens IS the decode context (and adding the array to pure
+    # decode batches would change the jit pytree and fork the compile).
+    mixed = has_decode and n_p > 0
+    decode_ctx = np.zeros(S, dtype=np.int32) if mixed else None
+
+    def fill_slot(i, seq):
+        table = seq.block_table
+        block_tables[i, : len(table)] = table
+        temperatures[i] = seq.temperature
+        top_k[i] = getattr(seq, "top_k", 0)
+        top_p[i] = getattr(seq, "top_p", 1.0)
+
+    offsets = []
+    t = 0
+    for i, (seq, start, span) in enumerate(plan.prefill):
+        fill_slot(i, seq)
+        # KV visible to this window = everything computed through its end.
+        context_lens[i] = start + span
+        offsets.append(t)
+        table = seq.block_table
+        input_ids[t: t + span] = seq.token_ids[start: start + span]
+        positions[t: t + span] = np.arange(start, start + span, dtype=np.int32)
+        seg_ids[t: t + span] = i
+        pos = np.arange(start, start + span, dtype=np.int64)
+        blocks = np.asarray(table, dtype=np.int64)[pos // block_size]
+        slot_mapping[t: t + span] = blocks * block_size + pos % block_size
+        last_token_idx[i] = t + span - 1
+        aligned = align_up(span, chunk)
+        chunk_seg[t // chunk: (t + aligned) // chunk] = i
+        t += aligned
+
+    for j, seq in enumerate(plan.decode):
+        i = n_p + j
+        fill_slot(i, seq)
+        context_lens[i] = len(seq)
+        if mixed:
+            decode_ctx[i] = len(seq)
+        row = Tp + i
+        offsets.append(row)
+        input_ids[row] = seq.last_token
+        pos = len(seq) - 1
+        positions[row] = pos
+        seg_ids[row] = i
+        slot_mapping[row] = seq.block_table[pos // block_size] * block_size \
+            + pos % block_size
+        last_token_idx[i] = row
+
+    return HostBatch(
+        input_ids=input_ids,
+        seg_ids=seg_ids,
+        positions=positions,
+        slot_mapping=slot_mapping,
+        block_tables=block_tables,
+        context_lens=context_lens,
+        last_token_idx=last_token_idx,
+        chunk_seg=chunk_seg,
+        temperatures=temperatures,
+        top_k=top_k,
+        top_p=top_p,
+        num_seqs=n,
+        num_tokens=n_ptok + n_d,
+        is_prefill=plan.phase == "prefill",
+        seq_token_offsets=offsets,
+        phase=plan.phase,
+        decode_ctx=decode_ctx,
+    )
 
 
 def prepare_batch(

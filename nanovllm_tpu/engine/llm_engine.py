@@ -96,23 +96,30 @@ class LLMEngine:
     def step(self):
         """One engine iteration. Returns (finished_outputs, num_tokens) where
         num_tokens > 0 counts prefill tokens, < 0 counts decode tokens
-        (the reference's tqdm-throughput convention, llm_engine.py:120-127)."""
-        seqs, is_prefill = self.scheduler.schedule()
-        if not seqs:
+        (the reference's tqdm-throughput convention, llm_engine.py:120-127).
+        With chunked_prefill (default) a step may be MIXED: capped prefill
+        windows plus decode lanes in one forward pass."""
+        plan = self.scheduler.schedule_plan()
+        if plan.is_empty:
             return [], 0
-        token_ids = self.model_runner.run(seqs, is_prefill)
+        token_ids = self.model_runner.run_plan(plan)
         now = time.perf_counter()
+        seqs = plan.seqs
+        self.scheduler.postprocess_plan(plan, token_ids)
         for seq in seqs:
-            if seq.first_token_time is None:
+            # First token emitted iff the seq has completion tokens now.
+            if seq.first_token_time is None and seq.num_completion_tokens > 0:
                 seq.first_token_time = now
-        self.scheduler.postprocess(seqs, token_ids)
         outputs = [
             (seq.seq_id, seq.completion_token_ids, seq.num_prompt_tokens,
              seq.num_cached_tokens)
             for seq in seqs if seq.is_finished
         ]
-        num_tokens = (sum(len(s) - s.num_cached_tokens for s in seqs)
-                      if is_prefill else -len(seqs))
+        if plan.phase == "decode":
+            num_tokens = -len(plan.decode)
+        else:
+            num_tokens = sum(span for _, _, span in plan.prefill) \
+                + len(plan.decode)
         return outputs, num_tokens
 
     def _find_vision_spans(self, token_ids):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nanovllm_tpu.config import Config
-from nanovllm_tpu.engine.batch import HostBatch, prepare_batch
+from nanovllm_tpu.engine.batch import HostBatch, prepare_batch, prepare_plan
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models.registry import get_adapter
 from nanovllm_tpu.ops import attention as attn_ops
@@ -127,7 +127,7 @@ class ModelRunner:
             self._jit_step = self._build_sharded_step()
         else:
             self._jit_step = jax.jit(
-                self._step, static_argnames=("is_prefill", "filtered_sampling"),
+                self._step, static_argnames=("phase", "filtered_sampling"),
                 donate_argnums=(1,))
         self._step_counter = 0
 
@@ -156,9 +156,9 @@ class ModelRunner:
 
         rep = P()
 
-        def sharded(params, cache, dev, step_idx, *, is_prefill,
+        def sharded(params, cache, dev, step_idx, *, phase,
                     filtered_sampling):
-            fn = partial(self._step, is_prefill=is_prefill,
+            fn = partial(self._step, phase=phase,
                          filtered_sampling=filtered_sampling)
             return jax.shard_map(
                 fn, mesh=self.mesh,
@@ -168,7 +168,7 @@ class ModelRunner:
             )(params, cache, dev, step_idx)
 
         return jax.jit(sharded,
-                       static_argnames=("is_prefill", "filtered_sampling"),
+                       static_argnames=("phase", "filtered_sampling"),
                        donate_argnums=(1,))
 
     # -- setup ------------------------------------------------------------
@@ -240,14 +240,41 @@ class ModelRunner:
         raise ValueError(f"unknown attention backend {backend!r}")
 
     # -- the jitted step ---------------------------------------------------
-    def _step(self, params, cache, dev, step_idx, *, is_prefill,
+    def _mixed_attn_fn(self):
+        """Mixed (chunked prefill + decode) steps: the token axis is
+        [prefill region | S decode rows]; each region runs its own kernel on
+        the shared cache and the outputs concatenate back into one (T, ...)
+        stream for the rest of the layer."""
+        prefill_fn, decode_fn = self._prefill_attn, self._decode_attn
+
+        def attn_fn(q, cache, meta, scale, layer=None):
+            S = meta.context_lens.shape[0]
+            Tp = q.shape[0] - S
+            mp = meta._replace(
+                seg_ids=meta.seg_ids[:Tp], positions=meta.positions[:Tp],
+                slot_mapping=meta.slot_mapping[:Tp], decode_context_lens=None)
+            out_p = prefill_fn(q[:Tp], cache, mp, scale, layer)
+            md = meta._replace(
+                seg_ids=meta.seg_ids[Tp:], positions=meta.positions[Tp:],
+                slot_mapping=meta.slot_mapping[Tp:],
+                context_lens=meta.decode_context_lens,
+                decode_context_lens=None)
+            out_d = decode_fn(q[Tp:], cache, md, scale, layer)
+            return jnp.concatenate([out_p, out_d], axis=0)
+
+        return attn_fn
+
+    def _step(self, params, cache, dev, step_idx, *, phase,
               filtered_sampling=False):
         meta = attn_ops.AttnMeta(
             seg_ids=dev["seg_ids"], positions=dev["positions"],
             slot_mapping=dev["slot_mapping"], block_tables=dev["block_tables"],
             context_lens=dev["context_lens"], last_token_idx=dev["last_token_idx"],
-            chunk_seg=dev["chunk_seg"], num_seqs=dev["num_seqs"])
-        attn_fn = self._prefill_attn if is_prefill else self._decode_attn
+            chunk_seg=dev["chunk_seg"], num_seqs=dev["num_seqs"],
+            decode_context_lens=dev.get("decode_ctx"))
+        attn_fn = {"prefill": self._prefill_attn,
+                   "decode": self._decode_attn,
+                   "mixed": self._mixed_attn_fn()}[phase]
         if "extras" in dev:
             hidden, cache = self.adapter.forward(
                 params, dev["input_ids"], meta, cache, attn_fn,
@@ -270,6 +297,22 @@ class ModelRunner:
         extras = None
         if hasattr(self.adapter, "prepare_extras"):
             extras = self.adapter.prepare_extras(seqs, batch)
+        return self.run_batch(batch, extras)
+
+    def run_plan(self, plan) -> list[int]:
+        cfg = self.config
+        batch = prepare_plan(
+            plan,
+            block_size=cfg.kvcache_block_size,
+            dummy_slot=self.dummy_slot,
+            max_num_seqs=cfg.max_num_seqs,
+            blocks_per_seq=cfg.blocks_per_seq,
+            token_buckets=cfg.prefill_token_buckets,
+            chunk=cfg.prefill_chunk,
+        )
+        extras = None
+        if hasattr(self.adapter, "prepare_extras"):
+            extras = self.adapter.prepare_extras(plan.seqs, batch)
         return self.run_batch(batch, extras)
 
     def prepare(self, seqs: list[Sequence], is_prefill: bool) -> HostBatch:
@@ -299,6 +342,8 @@ class ModelRunner:
             "temperatures": jnp.asarray(batch.temperatures),
             "num_seqs": jnp.asarray(batch.num_seqs, dtype=jnp.int32),
         }
+        if batch.decode_ctx is not None:
+            dev["decode_ctx"] = jnp.asarray(batch.decode_ctx)
         if extras is not None:
             dev["extras"] = {k: jnp.asarray(v) for k, v in extras.items()}
         filtered = bool((batch.top_k[: batch.num_seqs] > 0).any()
@@ -306,11 +351,12 @@ class ModelRunner:
         if filtered:
             dev["top_k"] = jnp.asarray(batch.top_k)
             dev["top_p"] = jnp.asarray(batch.top_p)
+        phase = batch.phase or ("prefill" if batch.is_prefill else "decode")
         self._step_counter += 1
         self.cache, tokens = self._jit_step(
             self.params, self.cache, dev,
             jnp.asarray(self._step_counter, dtype=jnp.uint32),
-            is_prefill=batch.is_prefill, filtered_sampling=filtered)
+            phase=phase, filtered_sampling=filtered)
         return np.asarray(tokens)[: batch.num_seqs].tolist()
 
     # -- warmup ------------------------------------------------------------
@@ -327,11 +373,16 @@ class ModelRunner:
         for filtered in (False, True):
             for bucket in cfg.prefill_token_buckets:
                 fake = _fake_batch(cfg, self.dummy_slot, bucket,
-                                   is_prefill=True, filtered=filtered)
+                                   phase="prefill", filtered=filtered)
                 self.run_batch(fake)
                 n += 1
+                if cfg.chunked_prefill:
+                    fake = _fake_batch(cfg, self.dummy_slot, bucket,
+                                       phase="mixed", filtered=filtered)
+                    self.run_batch(fake)
+                    n += 1
             fake = _fake_batch(cfg, self.dummy_slot, cfg.max_num_seqs,
-                               is_prefill=False, filtered=filtered)
+                               phase="decode", filtered=filtered)
             self.run_batch(fake)
             n += 1
         # No cache reset needed: pages are always written by a sequence's own
@@ -340,16 +391,19 @@ class ModelRunner:
                     n, time.perf_counter() - t0)
 
 
-def _fake_batch(cfg: Config, dummy_slot: int, T: int, is_prefill: bool,
+def _fake_batch(cfg: Config, dummy_slot: int, T: int, phase: str,
                 filtered: bool = False) -> HostBatch:
     S = cfg.max_num_seqs
-    if not is_prefill:
-        T = S
-    nchunks = max(T // cfg.prefill_chunk, 1)
+    Tp = T
+    if phase == "decode":
+        Tp, T = 0, S
+    elif phase == "mixed":
+        T = Tp + S
+    nchunks = max(Tp // cfg.prefill_chunk, 1)
     return HostBatch(
         input_ids=np.zeros(T, np.int32),
         seg_ids=np.zeros(T, np.int32),
-        positions=np.zeros(T, np.int32) if is_prefill else np.zeros(T, np.int32),
+        positions=np.zeros(T, np.int32),
         slot_mapping=np.full(T, dummy_slot, np.int32),
         block_tables=np.zeros((S, cfg.blocks_per_seq), np.int32),
         context_lens=np.ones(S, np.int32),
@@ -360,5 +414,7 @@ def _fake_batch(cfg: Config, dummy_slot: int, T: int, is_prefill: bool,
         top_p=np.ones(S, np.float32),
         num_seqs=1,
         num_tokens=1,
-        is_prefill=is_prefill,
+        is_prefill=phase == "prefill",
+        phase=phase,
+        decode_ctx=np.zeros(S, np.int32) if phase == "mixed" else None,
     )

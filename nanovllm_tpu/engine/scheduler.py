@@ -22,6 +22,7 @@ from collections import deque
 from typing import Iterable, Optional
 
 from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.batch import StepPlan, align_up
 from nanovllm_tpu.engine.block_manager import BlockManager
 from nanovllm_tpu.engine.sequence import FinishReason, Sequence, SequenceStatus
 
@@ -35,6 +36,8 @@ class Scheduler:
         self.max_model_len = config.max_model_len
         self.eos = config.eos
         self.prefill_chunk = getattr(config, "prefill_chunk", 128)
+        self.chunked = bool(getattr(config, "chunked_prefill", False))
+        self.prefill_step_tokens = getattr(config, "prefill_step_tokens", 2048)
         # One physical block is reserved as the scratch page that padded
         # decode lanes write into (reference scheduler.py:26-30) — the
         # allocator never hands it out.
@@ -104,6 +107,7 @@ class Scheduler:
                 break
             self.waiting.popleft()
             self.block_manager.allocate(seq)
+            seq.num_computed_tokens = seq.num_cached_tokens
             seq.status = SequenceStatus.RUNNING
             seq.finish_reason = None
             self.running.append(seq)
@@ -126,6 +130,119 @@ class Scheduler:
                 batch.append(seq)
         self.running.extendleft(reversed(batch))
         return batch, False
+
+    # -- chunked-prefill interleaved scheduling ----------------------------
+    def schedule_plan(self) -> StepPlan:
+        """One step's plan. With chunked_prefill on, a step carries decode
+        lanes AND capped prefill windows simultaneously — prefills no longer
+        monopolize steps (the round-1 TTFT p99 pathology; the reference has
+        no such mode at all, its scheduler is strictly two-phase,
+        scheduler.py:41-77)."""
+        if not self.chunked:
+            seqs, is_prefill = self.schedule()
+            if not seqs:
+                return StepPlan([], [], "decode")
+            if is_prefill:
+                return StepPlan(
+                    [(s, s.num_cached_tokens, len(s) - s.num_cached_tokens)
+                     for s in seqs], [], "prefill")
+            return StepPlan([], seqs, "decode")
+
+        budget = self.prefill_step_tokens
+        used = 0
+        prefill: list = []
+        decode: list = []
+        scheduled: set = set()
+
+        def preempt_for(seq) -> bool:
+            """Free a page for `seq`; victims are the youngest running seqs
+            not already in this batch (legacy discipline). Returns False if
+            `seq` itself had to be preempted."""
+            while not self.block_manager.can_append_slot(seq):
+                victim = None
+                for cand in reversed(self.running):
+                    if cand is not seq and id(cand) not in scheduled:
+                        victim = cand
+                        break
+                if victim is None:
+                    self.running.remove(seq)
+                    self.preempt(seq)
+                    return False
+                self.running.remove(victim)
+                self.preempt(victim)
+            return True
+
+        # 1) running sequences, FCFS: decode lanes for finished prefills,
+        #    window continuations for mid-prefill seqs.
+        for seq in list(self.running):
+            if seq.status is not SequenceStatus.RUNNING:
+                continue
+            if len(prefill) + len(decode) >= self.max_num_seqs:
+                break
+            remaining = len(seq) - seq.num_computed_tokens
+            if remaining == 1:
+                if preempt_for(seq):
+                    self.block_manager.append_slot(seq)
+                    decode.append(seq)
+                    scheduled.add(id(seq))
+            elif used < budget:
+                span = min(remaining, budget - used)
+                prefill.append((seq, seq.num_computed_tokens, span))
+                scheduled.add(id(seq))
+                used += align_up(span, self.prefill_chunk)
+
+        # 2) admit waiting sequences into leftover budget/slots.
+        while self.waiting and used < budget \
+                and len(prefill) + len(decode) < self.max_num_seqs:
+            seq = self.waiting[0]
+            if not self.block_manager.can_allocate(seq):
+                break
+            self.waiting.popleft()
+            self.block_manager.allocate(seq)
+            seq.num_computed_tokens = seq.num_cached_tokens
+            seq.status = SequenceStatus.RUNNING
+            seq.finish_reason = None
+            self.running.append(seq)
+            scheduled.add(id(seq))
+            remaining = len(seq) - seq.num_computed_tokens
+            span = min(remaining, budget - used)
+            prefill.append((seq, seq.num_computed_tokens, span))
+            used += align_up(span, self.prefill_chunk)
+
+        phase = "mixed" if (prefill and decode) else \
+            ("decode" if decode else "prefill")
+        return StepPlan(prefill, decode, phase)
+
+    def postprocess_plan(self, plan: StepPlan, token_ids: list[int]) -> None:
+        """Advance computed-token counters; append tokens only for lanes
+        that actually emitted one (completed prefills + decodes)."""
+        slot = 0
+        for seq, start, span in plan.prefill:
+            token_id = token_ids[slot]
+            slot += 1
+            seq.num_computed_tokens = start + span
+            if seq.num_computed_tokens >= len(seq):
+                # Final window reached the last prompt position: the KV row
+                # for position len-1 is the NEXT step's write (decode lane
+                # semantics), so computed stays len-1 after the append.
+                self._emit(seq, token_id)
+        for seq in plan.decode:
+            token_id = token_ids[slot]
+            slot += 1
+            seq.num_computed_tokens += 1
+            self._emit(seq, token_id)
+
+    def _emit(self, seq: Sequence, token_id: int) -> None:
+        seq.append_token(token_id)
+        hit_eos = (not seq.ignore_eos) and token_id == self.eos
+        hit_max = seq.num_completion_tokens >= seq.max_tokens
+        hit_len = len(seq) >= self.max_model_len
+        if hit_eos:
+            self.finish(seq, FinishReason.EOS)
+            self.running.remove(seq)
+        elif hit_max or hit_len:
+            self.finish(seq, FinishReason.LENGTH)
+            self.running.remove(seq)
 
     def preempt(self, seq: Sequence) -> None:
         seq.status = SequenceStatus.WAITING

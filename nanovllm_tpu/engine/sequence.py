@@ -52,6 +52,9 @@ class Sequence:
         self.token_ids = list(token_ids)
         self.num_prompt_tokens = len(token_ids)
         self.num_cached_tokens = 0
+        # KV rows materialized in the cache so far (chunked prefill advances
+        # this window-by-window; always len(self)-1 for decode-ready seqs).
+        self.num_computed_tokens = 0
         self.status = SequenceStatus.WAITING
         self.finish_reason: Optional[FinishReason] = None
         self.block_table: list[int] = []

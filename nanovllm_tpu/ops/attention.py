@@ -126,6 +126,10 @@ class AttnMeta(NamedTuple):
     last_token_idx: jax.Array  # (S,) int32: index into T of each slot's last query
     chunk_seg: jax.Array     # (T // CQ,) int32: query chunk -> batch slot
     num_seqs: jax.Array      # () int32: live slots (for host-side truncation)
+    # Mixed (chunked-prefill + decode) steps only: per-slot kv length for the
+    # decode lane region, 0 for slots that are prefilling this step (so the
+    # decode kernel early-exits on them). None outside mixed steps.
+    decode_context_lens: jax.Array | None = None
 
 
 def write_kv(cache: KVCache, k, v, slot_mapping, layer=None) -> KVCache:
