@@ -202,6 +202,75 @@ def prepare_plan(
     )
 
 
+def prepare_chain_batch(
+    seqs: list[Sequence],
+    *,
+    block_size: int,
+    dummy_slot: int,
+    max_num_seqs: int,
+    blocks_per_seq: int,
+    chunk: int = 128,
+) -> HostBatch:
+    """Decode batch for the async-decode chain: built BEFORE the previous
+    step's sampled tokens reach the host, at each sequence's VIRTUAL length
+    len(seq)+1 (the committed length it will have once the pending step's
+    token is appended). Everything here is value-independent — positions,
+    slots and page tables are pure length arithmetic (pages already grown by
+    reserve_for_chain); `input_ids` are placeholders that the runner
+    overrides on device with the pending step's token array, so the chain
+    never round-trips tokens through the host."""
+    S = max_num_seqs
+    n = len(seqs)
+    assert 0 < n <= S
+
+    pad_slot = n if n < S else 0
+    input_ids = np.zeros(S, dtype=np.int32)
+    seg_ids = np.full(S, pad_slot, dtype=np.int32)
+    positions = np.zeros(S, dtype=np.int32)
+    slot_mapping = np.full(S, dummy_slot, dtype=np.int32)
+    block_tables = np.zeros((S, blocks_per_seq), dtype=np.int32)
+    context_lens = np.zeros(S, dtype=np.int32)
+    last_token_idx = np.zeros(S, dtype=np.int32)
+    chunk_seg = np.full(max(S // chunk, 1), pad_slot, dtype=np.int32)
+    temperatures = np.ones(S, dtype=np.float32)
+    top_k = np.zeros(S, dtype=np.int32)
+    top_p = np.ones(S, dtype=np.float32)
+
+    for i, seq in enumerate(seqs):
+        table = seq.block_table
+        block_tables[i, : len(table)] = table
+        L1 = len(seq) + 1
+        context_lens[i] = L1
+        temperatures[i] = seq.temperature
+        top_k[i] = getattr(seq, "top_k", 0)
+        top_p[i] = getattr(seq, "top_p", 1.0)
+        pos = L1 - 1
+        positions[i] = pos
+        seg_ids[i] = i
+        slot_mapping[i] = table[pos // block_size] * block_size \
+            + pos % block_size
+        last_token_idx[i] = i
+
+    return HostBatch(
+        input_ids=input_ids,
+        seg_ids=seg_ids,
+        positions=positions,
+        slot_mapping=slot_mapping,
+        block_tables=block_tables,
+        context_lens=context_lens,
+        last_token_idx=last_token_idx,
+        chunk_seg=chunk_seg,
+        temperatures=temperatures,
+        top_k=top_k,
+        top_p=top_p,
+        num_seqs=n,
+        num_tokens=n,
+        is_prefill=False,
+        seq_token_offsets=list(range(n)),
+        phase="decode",
+    )
+
+
 def prepare_batch(
     seqs: list[Sequence],
     is_prefill: bool,

@@ -154,17 +154,45 @@ class BlockManager:
     # len-1) and samples the next one, so a fresh page is needed exactly when
     # that position opens a new block (len % block_size == 1), and the
     # trailing block becomes sealable when it fills (len % block_size == 0).
+    # Reservation is TABLE-LENGTH based (grow to ceil(len/bs) pages) so it is
+    # idempotent: the async-decode chain reserves one step early
+    # (`reserve_for_chain`), and a later append_slot must not double-take.
     def can_append_slot(self, seq: Sequence) -> bool:
-        needs_new = (len(seq) % self.block_size) == 1
-        return self.num_free_blocks >= int(needs_new)
+        need = -(-len(seq) // self.block_size) - len(seq.block_table)
+        return self.num_free_blocks >= max(need, 0)
 
     def append_slot(self, seq: Sequence) -> None:
         """Reserve cache space for the last token; seal blocks that just
         filled so their hash becomes visible to the prefix cache."""
-        off = len(seq) % self.block_size
-        if off == 1:
+        need = -(-len(seq) // self.block_size)
+        while len(seq.block_table) < need:
             seq.block_table.append(self._take_free())
-        elif off == 0:
+        if len(seq) % self.block_size == 0:
+            self._seal_full_block(seq, seq.num_blocks - 1)
+
+    # -- async-decode chain (speculative one-step-ahead dispatch) ----------
+    def can_reserve_for_chain(self, seq: Sequence) -> int:
+        """Free pages needed to extend `seq` for ONE more token (position
+        len(seq), the token the in-flight step will sample)."""
+        need = -(-(len(seq) + 1) // self.block_size) - len(seq.block_table)
+        return max(need, 0)
+
+    def reserve_for_chain(self, seq: Sequence) -> None:
+        """Take the page for position len(seq) WITHOUT sealing anything —
+        the value of the token that fills the trailing block is still on
+        device; `seal_filled` publishes it at commit time."""
+        need = -(-(len(seq) + 1) // self.block_size)
+        while len(seq.block_table) < need:
+            seq.block_table.append(self._take_free())
+
+    def seal_filled(self, seq: Sequence) -> None:
+        """Chain-commit path: after the real token append, publish the
+        just-filled trailing block (what append_slot would have done at the
+        next schedule — which the chain already dispatched). Only call when
+        the in-flight step contains this sequence's lane: publishing is only
+        sound once the step that writes the block's last KV row is
+        guaranteed to run before any consumer."""
+        if len(seq) % self.block_size == 0:
             self._seal_full_block(seq, seq.num_blocks - 1)
 
     def _seal_full_block(self, seq: Sequence, logical_idx: int) -> None:

@@ -90,13 +90,15 @@ class ModelRunner:
         # Cache geometry uses the GLOBAL adapter view; tp_plan below switches
         # the adapter spec to the per-shard view for the shard_map'ed step.
         self.num_kvcache_blocks = self._size_kv_cache()
-        # Fused single-DMA layout (ops/attention.py KVCache): K and V planes
-        # of a page are contiguous.
-        shape = (self.adapter.num_layers, self.num_kvcache_blocks, 2,
-                 config.kvcache_block_size,
+        # Fused single-DMA layout (ops/attention.py KVCache): a page's K and
+        # V rows are contiguous. The K/V planes are FOLDED into the row axis
+        # — a separate size-2 axis gets tile-padded 2->4 by the scatter's
+        # layout assignment and doubles the cache footprint (OOM on v5e).
+        shape = (self.adapter.num_layers, self.num_kvcache_blocks,
+                 2 * config.kvcache_block_size,
                  self.adapter.num_kv_heads * self.adapter.head_dim)
-        sshape = (self.adapter.num_layers, self.num_kvcache_blocks, 2,
-                  self.adapter.num_kv_heads, config.kvcache_block_size)
+        sshape = (self.adapter.num_layers, self.num_kvcache_blocks,
+                  2 * self.adapter.num_kv_heads, config.kvcache_block_size)
         kv_shardings = attn_ops.KVCache(None, None)
         self._kv_pspecs = None
         if self.mesh is not None:

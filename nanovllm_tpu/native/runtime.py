@@ -27,6 +27,9 @@ _SO_STAMP = _SO + ".src.sha256"
 _lib = None
 _load_failed = False
 
+# Valid pointer for C calls whose branch never reads the token array.
+_DUMMY_TOKS = np.zeros(1, np.int64)
+
 
 def _src_digest() -> str:
     with open(_SRC, "rb") as f:
@@ -156,22 +159,55 @@ class NativeBlockManager:
         seq.block_table.clear()
 
     # -- decode -----------------------------------------------------------
+    # Mirrors BlockManager's TABLE-LENGTH based reservation (grow to
+    # ceil(len/bs) pages): idempotent under the async-decode chain's
+    # one-step-early reserve, and self-healing when an earlier can_append
+    # rejection left the table short (the engine keeps the token appended).
     def can_append_slot(self, seq) -> bool:
-        return bool(self._lib.bm_can_append(self._h, len(seq)))
+        need = -(-len(seq) // self.block_size) - len(seq.block_table)
+        return self.num_free_blocks >= max(need, 0)
 
     def append_slot(self, seq) -> None:
-        toks = np.asarray(seq.token_ids, np.int64)
+        need = -(-len(seq) // self.block_size)
+        while len(seq.block_table) < need:
+            # The C reserve branch fires at any virtual length with
+            # offset 1 and never dereferences the token array.
+            vlen = len(seq.block_table) * self.block_size + 1
+            self._call_append(seq, vlen, toks=_DUMMY_TOKS)
+        if len(seq) % self.block_size == 0:
+            self._call_append(seq, len(seq))
+
+    def _call_append(self, seq, n: int, toks=None) -> None:
+        if toks is None:
+            toks = np.asarray(seq.token_ids, np.int64)
         table = np.asarray(seq.block_table, np.int32)
         buf = self._table_buf
         buf[: table.size] = table
         new_len = self._lib.bm_append_slot(self._h, toks.ctypes.data,
-                                           len(toks), buf.ctypes.data,
+                                           n, buf.ctypes.data,
                                            table.size, buf.size)
         if new_len == -2:
             raise ValueError(
                 f"sequence needs more than {buf.size} blocks")
         if new_len != table.size:
             seq.block_table.append(int(buf[new_len - 1]))
+
+    # -- async-decode chain (mirrors BlockManager.reserve_for_chain etc.) --
+    def can_reserve_for_chain(self, seq) -> int:
+        need = -(-(len(seq) + 1) // self.block_size) - len(seq.block_table)
+        return max(need, 0)
+
+    def reserve_for_chain(self, seq) -> None:
+        need = -(-(len(seq) + 1) // self.block_size)
+        while len(seq.block_table) < need:
+            # Reserve branch only ((len_table*bs)+1 has offset 1); the C
+            # side never dereferences the token array there.
+            vlen = len(seq.block_table) * self.block_size + 1
+            self._call_append(seq, vlen, toks=_DUMMY_TOKS)
+
+    def seal_filled(self, seq) -> None:
+        if len(seq) % self.block_size == 0:
+            self._call_append(seq, len(seq))
 
 
 def native_available() -> bool:

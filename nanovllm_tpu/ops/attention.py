@@ -17,10 +17,11 @@ Design differences from the reference (TPU-first):
     T == num_slots special case. Queries always read K/V from the paged cache
     (so prefill computes only the uncached suffix — the reference recomputes
     whole prompts, nanovllm/engine/model_runner.py:238-290).
-  * Cache layout is FUSED (layers, num_blocks, 2, block_size,
-    kv_heads*head_dim) — a page's K and V planes are contiguous, so one DMA
-    per page feeds the kernels and one scatter per step writes both planes;
-    token slots stay flat contiguous rows (reshape-free at the jit boundary).
+  * Cache layout is FUSED (layers, num_blocks, 2*block_size,
+    kv_heads*head_dim) — a page's K rows and V rows are contiguous, so one
+    DMA per page feeds the kernels and one scatter per step writes both
+    planes; token slots stay flat contiguous rows (reshape-free at the jit
+    boundary).
   * All batch metadata is fixed-shape, padded device arrays — one compiled
     step serves every cache state (the reference needed a separate
     "padding" prep path for graph mode, model_runner.py:292-342).
@@ -38,15 +39,21 @@ NEG_INF = -1e30
 
 class KVCache(NamedTuple):
     """Paged KV cache pytree, FUSED layout: one value array
-    (L, NB, 2, block_size, KVH*head_dim) holding a sequence's K page at
-    [..., page, 0] and its V page at [..., page, 1] — a page's K and V are
-    one contiguous HBM chunk, so the decode/prefill kernels fetch a whole
-    page with a SINGLE DMA (the round-1 split-array layout needed 2-4 copies
-    per page and their issue overhead dominated the decode step,
-    BUILD_NOTES round-1 measurements). Quantized caches add fused scales
-    (L, NB, 2, KVH, block_size) float32 — also one DMA — stored transposed
-    so kernels can apply a page's scales to score tiles without an in-kernel
-    transpose. `scale` is None for non-quantized caches."""
+    (L, NB, 2*block_size, KVH*head_dim) holding a page's K rows at
+    [..., page, :bs, :] and its V rows at [..., page, bs:, :] — a page's K
+    and V are one contiguous HBM chunk, so the decode/prefill kernels fetch
+    a whole page with a SINGLE DMA (the round-1 split-array layout needed
+    2-4 copies per page and their issue overhead dominated the decode step,
+    BUILD_NOTES round-1 measurements). The K/V planes are folded into the
+    ROW axis rather than kept as a separate size-2 axis because XLA's
+    scatter layout assignment places window dims minor: a size-2 second-
+    minor axis gets tile-padded 2->4 (int8 T(4,128)) and the relayout copy
+    DOUBLES the cache's HBM footprint — observed as a 20.4 GiB allocation
+    for a 10.2 GiB logical cache. Quantized caches add fused scales
+    (L, NB, 2*KVH, block_size) float32 (K-scale rows then V-scale rows) —
+    also one DMA — stored transposed so kernels can apply a page's scales
+    to score tiles without an in-kernel transpose. `scale` is None for
+    non-quantized caches."""
 
     kv: jax.Array
     scale: jax.Array | None = None
@@ -55,43 +62,51 @@ class KVCache(NamedTuple):
     def quantized(self) -> bool:
         return self.scale is not None
 
+    @property
+    def block_size(self) -> int:
+        return self.kv.shape[-2] // 2
+
     # Split views (tests / debug / host-side reads — these COPY; kernels
     # slice the fused buffers in VMEM instead).
     @property
     def k(self) -> jax.Array:
-        return self.kv[..., 0, :, :]
+        return self.kv[..., : self.block_size, :]
 
     @property
     def v(self) -> jax.Array:
-        return self.kv[..., 1, :, :]
+        return self.kv[..., self.block_size :, :]
 
     @property
     def k_scale(self):
-        return None if self.scale is None else self.scale[..., 0, :, :]
+        if self.scale is None:
+            return None
+        return self.scale[..., : self.scale.shape[-2] // 2, :]
 
     @property
     def v_scale(self):
-        return None if self.scale is None else self.scale[..., 1, :, :]
+        if self.scale is None:
+            return None
+        return self.scale[..., self.scale.shape[-2] // 2 :, :]
 
     @classmethod
     def build(cls, k, v, k_scale=None, v_scale=None) -> "KVCache":
         """Fuse separate K/V (.., NB, bs, KVH*hd) arrays (and optional
         (.., NB, KVH, bs) scales) into the single-DMA layout."""
-        kv = jnp.stack([k, v], axis=-3)
+        kv = jnp.concatenate([k, v], axis=-2)
         sc = None
         if k_scale is not None:
-            sc = jnp.stack([k_scale, v_scale], axis=-3)
+            sc = jnp.concatenate([k_scale, v_scale], axis=-2)
         return cls(kv, sc)
 
     @classmethod
     def zeros(cls, num_layers, num_blocks, block_size, kv_heads, head_dim,
               dtype=jnp.bfloat16, quantized=False) -> "KVCache":
-        kv = jnp.zeros((num_layers, num_blocks, 2, block_size,
+        kv = jnp.zeros((num_layers, num_blocks, 2 * block_size,
                         kv_heads * head_dim),
                        jnp.int8 if quantized else dtype)
         sc = None
         if quantized:
-            sc = jnp.zeros((num_layers, num_blocks, 2, kv_heads, block_size),
+            sc = jnp.zeros((num_layers, num_blocks, 2 * kv_heads, block_size),
                            jnp.float32)
         return cls(kv, sc)
 
@@ -135,16 +150,17 @@ class AttnMeta(NamedTuple):
 def write_kv(cache: KVCache, k, v, slot_mapping, layer=None) -> KVCache:
     """Scatter new K/V rows into the fused paged cache (quantizing if int8).
 
-    Canonical value shape: (num_blocks, 2, block_size, KVH*head_dim) — one
-    flat feature row per token slot per K/V plane — with a leading layers
-    axis when `layer` is given (the scan-over-layers path: scattering
-    straight into the stacked cache keeps the whole update in-place under
-    donation). One scatter covers both planes (the token's K and V rows are
-    a (2, row) window), and the flat row stays the Pallas DMA granule with
-    heads as static column slices.
+    Canonical value shape: (num_blocks, 2*block_size, KVH*head_dim) — K rows
+    then V rows within a page — with a leading layers axis when `layer` is
+    given (the scan-over-layers path: scattering straight into the stacked
+    cache keeps the whole update in-place under donation). The token's K and
+    V rows are scattered as 2T independent (row,) windows: keeping the
+    scatter window one-dimensional (features only) lets XLA keep the
+    cache's default tiled layout — a multi-dim window forces a relayout
+    copy that tile-pads small window axes (see KVCache docstring).
     k/v: (T, KVH, head_dim). slot_mapping: (T,) flat slots.
     """
-    bs = cache.kv.shape[-2]
+    bs = cache.block_size
     blocks = slot_mapping // bs
     offs = slot_mapping % bs
     kv = jnp.stack([k, v], axis=1)                     # (T, 2, KVH, hd)
@@ -152,14 +168,22 @@ def write_kv(cache: KVCache, k, v, slot_mapping, layer=None) -> KVCache:
     if cache.quantized:
         kv, sc = quantize_rows(kv)                     # int8, (T, 2, KVH) f32
     kvf = kv.reshape(kv.shape[0], 2, -1).astype(cache.kv.dtype)
+    blocks2 = jnp.concatenate([blocks, blocks])
+    rows2 = jnp.concatenate([offs, bs + offs])
+    vals2 = jnp.concatenate([kvf[:, 0], kvf[:, 1]])    # (2T, KVH*hd)
     if layer is None:
-        vals = cache.kv.at[blocks, :, offs, :].set(kvf, mode="drop")
+        vals = cache.kv.at[blocks2, rows2, :].set(vals2, mode="drop")
         if cache.quantized:
-            scs = cache.scale.at[blocks, :, :, offs].set(sc, mode="drop")
+            kvh = sc.shape[-1]
+            scs = cache.scale.at[blocks, :kvh, offs].set(sc[:, 0], mode="drop")
+            scs = scs.at[blocks, kvh:, offs].set(sc[:, 1], mode="drop")
     else:
-        vals = cache.kv.at[layer, blocks, :, offs, :].set(kvf, mode="drop")
+        vals = cache.kv.at[layer, blocks2, rows2, :].set(vals2, mode="drop")
         if cache.quantized:
-            scs = cache.scale.at[layer, blocks, :, :, offs].set(sc, mode="drop")
+            kvh = sc.shape[-1]
+            scs = cache.scale.at[layer, blocks, :kvh, offs].set(
+                sc[:, 0], mode="drop")
+            scs = scs.at[layer, blocks, kvh:, offs].set(sc[:, 1], mode="drop")
     return KVCache(vals, scs if cache.quantized else None)
 
 
@@ -168,11 +192,13 @@ def _sel(arr, layer, pages):
 
 
 def _gather_plane(cache: KVCache, layer, pages, kvh, plane: int):
-    out = _sel(cache.kv, layer, pages)[..., plane, :, :]
+    bs = cache.block_size
+    out = _sel(cache.kv, layer, pages)[..., plane * bs : (plane + 1) * bs, :]
     out = out.reshape(*out.shape[:-1], kvh, out.shape[-1] // kvh)
     out = out.astype(jnp.float32)
     if cache.quantized:
-        sc = _sel(cache.scale, layer, pages)[..., plane, :, :]
+        sc = _sel(cache.scale, layer, pages)[
+            ..., plane * kvh : (plane + 1) * kvh, :]
         # (..., KVH, bs) -> broadcast over hd
         out = out * jnp.swapaxes(sc, -1, -2)[..., None]
     return out
@@ -198,7 +224,7 @@ def ragged_attention_reference(q, cache: KVCache, meta: AttnMeta, scale: float,
     q: (T, QH, hd) -> out (T, QH, hd).
     """
     T, QH, hd = q.shape
-    bs = cache.kv.shape[-2]
+    bs = cache.block_size
     KVH = cache.kv.shape[-1] // hd
     S, maxB = meta.block_tables.shape
     G = QH // KVH
@@ -240,7 +266,7 @@ def paged_decode_attention_jnp(q, cache: KVCache, block_tables, context_lens,
     kernel replaces this with per-sequence early exit).
     """
     S, QH, hd = q.shape
-    bs = cache.kv.shape[-2]
+    bs = cache.block_size
     KVH = cache.kv.shape[-1] // hd
     G = QH // KVH
     maxB = block_tables.shape[1]
@@ -284,7 +310,7 @@ def ragged_prefill_attention_jnp(q, cache: KVCache, meta: AttnMeta,
     softmax, so peak transient memory is O(T * block_size) scores.
     """
     T, QH, hd = q.shape
-    bs = cache.kv.shape[-2]
+    bs = cache.block_size
     KVH = cache.kv.shape[-1] // hd
     G = QH // KVH
     C = T // chunk

@@ -8,8 +8,8 @@ cache through the per-slot block table, with per-sequence early exit
 
 Performance shape: decode attention compute is tiny next to its HBM traffic,
 so the kernel keeps fixed per-op overheads off the DMA critical path:
-  * FUSED K|V pages: the cache stores a page's K and V planes contiguously
-    ((L, NB, 2, bs, KVH*hd), ops/attention.py KVCache), so each page is ONE
+  * FUSED K|V pages: the cache stores a page's K and V rows contiguously
+    ((L, NB, 2*bs, KVH*hd), ops/attention.py KVCache), so each page is ONE
     async copy — round 1's split arrays needed 2 (4 quantized) copies per
     page and their issue overhead, not bandwidth, dominated the step
     (~8-10us per page-pair iteration, BUILD_NOTES).
@@ -18,9 +18,9 @@ so the kernel keeps fixed per-op overheads off the DMA critical path:
     block, so q_bd @ K_page^T is exactly the grouped scores. q_bd is built
     (and the per-head output extracted) in the jitted CALLER.
   * Pages stream PAGES_PER_ITER at a time with double-buffered DMA of whole
-    (2, bs, KVH*hd) pages — few large copies instead of per-head slices.
+    (2*bs, KVH*hd) pages — few large copies instead of per-head slices.
   * INT8 KV: values are int8 with per-token-per-head scales stored
-    TRANSPOSED and fused ((L, NB, 2, KVH, bs) f32, one more DMA per page).
+    TRANSPOSED and fused ((L, NB, 2*KVH, bs) f32, one more DMA per page).
     Because each block-diagonal score row touches exactly one kv head,
     dequantization is exact as a post-matmul elementwise multiply:
     scale_mat = repeat(scales, G, axis=0) applied to the (QH, P*bs) score
@@ -28,8 +28,8 @@ so the kernel keeps fixed per-op overheads off the DMA critical path:
     (after l is accumulated from the UNscaled probabilities). Halves decode
     HBM traffic and doubles cache capacity.
 
-Layout contract: cache values (L, num_blocks, 2, block_size, KVH*head_dim),
-scales (L, num_blocks, 2, KVH, block_size) f32; the kernel gets full stacks
+Layout contract: cache values (L, num_blocks, 2*block_size, KVH*head_dim),
+scales (L, num_blocks, 2*KVH, block_size) f32; the kernel gets full stacks
 plus the layer index as a prefetched scalar.
 """
 
@@ -93,13 +93,17 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
     nq = q_bd.shape[0]
     rows = P * bs
 
+    kvh = sc_buf.shape[-2] // 2 if quantized else 0
+
     def scale_mat(slot, plane):
         # (P, KVH, bs) f32 -> (QH, P*bs): concat pages on the lane axis, then
         # TILE kv-head rows G times (pltpu.repeat tiles: [h0..hK, h0..hK, ..])
         # — q_bd rows are permuted to the matching order (row r <-> kv head
-        # r % KVH) by the caller.
-        sc = jnp.concatenate([sc_buf[slot, p, plane] for p in range(P)],
-                             axis=1)
+        # r % KVH) by the caller. Plane slice: K scales are rows [:KVH] of
+        # the fused (2*KVH, bs) page, V scales rows [KVH:].
+        sc = jnp.concatenate(
+            [sc_buf[slot, p, plane * kvh:(plane + 1) * kvh] for p in range(P)],
+            axis=1)
         return pltpu.repeat(sc, group, axis=0)
 
     def body(it, carry):
@@ -112,7 +116,7 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
 
         page_dmas(it, slot, False)
 
-        k_flat = kv_buf[slot, :, 0].reshape(rows, row_dim)
+        k_flat = kv_buf[slot, :, :bs].reshape(rows, row_dim)
         if quantized:
             k_flat = k_flat.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
@@ -130,7 +134,7 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         # l accumulates UNscaled probabilities (the softmax denominator);
         # the per-column v-scale is folded into p only for the V matmul.
         l = l * corr + jnp.sum(p_, axis=-1, keepdims=True)
-        v_flat = kv_buf[slot, :, 1].reshape(rows, row_dim)
+        v_flat = kv_buf[slot, :, bs:].reshape(rows, row_dim)
         if quantized:
             v_flat = v_flat.astype(jnp.bfloat16)
             p_ = p_ * scale_mat(slot, 1)
@@ -163,14 +167,14 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((N_BUF, PAGES_PER_ITER, 2, bs, row_dim),
+        pltpu.VMEM((N_BUF, PAGES_PER_ITER, 2 * bs, row_dim),
                    jnp.int8 if quantized else dtype),
     ]
     nsems = 1
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(
-            pltpu.VMEM((N_BUF, PAGES_PER_ITER, 2, kvh, bs), jnp.float32))
+            pltpu.VMEM((N_BUF, PAGES_PER_ITER, 2 * kvh, bs), jnp.float32))
         nsems = 2
     scratch.append(pltpu.SemaphoreType.DMA((nsems, N_BUF, PAGES_PER_ITER)))
 
@@ -195,14 +199,15 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
 
 def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                            layer, *, scale: float, interpret: bool = False):
-    """q: (S, QH, hd); cache values (L, NB, 2, bs, KVH*hd); layer: () int32.
+    """q: (S, QH, hd); cache values (L, NB, 2*bs, KVH*hd); layer: () int32.
     Returns (S, QH, hd). Slots with context_len == 0 yield zeros.
 
     The pallas_call object is memoized on shapes: one Mosaic lowering serves
     every layer of every step (a fresh partial() per call re-lowered the
     same kernel dozens of times and dominated compile time)."""
     S, QH, hd = q.shape
-    L, NB, _, bs, row_dim = cache.kv.shape
+    L, NB, bs2, row_dim = cache.kv.shape
+    bs = bs2 // 2
     kvh = row_dim // hd
     group = QH // kvh
 

@@ -60,9 +60,9 @@ def _kernel(layer_ref, tables_ref, ctx_ref,          # scalar prefetch
     @pl.when(j * P * bs < ctx)
     def _():
         q_bd = qbd_ref[0]                              # (QH, row)
-        # Fused pages: block (1, 1, 2, bs, row) — plane 0 = K, plane 1 = V.
-        k = jnp.concatenate([r[0, 0, 0] for r in kv_refs], axis=0)  # (P*bs, row)
-        v = jnp.concatenate([r[0, 0, 1] for r in kv_refs], axis=0)
+        # Fused pages: block (1, 1, 2*bs, row) — K rows [:bs], V rows [bs:].
+        k = jnp.concatenate([r[0, 0, :bs] for r in kv_refs], axis=0)  # (P*bs, row)
+        v = jnp.concatenate([r[0, 0, bs:] for r in kv_refs], axis=0)
         if quantized:
             k = k.astype(jnp.bfloat16)
             v = v.astype(jnp.bfloat16)
@@ -71,8 +71,9 @@ def _kernel(layer_ref, tables_ref, ctx_ref,          # scalar prefetch
             q_bd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale     # (QH, P*bs)
         if quantized:
-            ks = jnp.concatenate([r[0, 0, 0] for r in sc_refs], axis=1)
-            vs = jnp.concatenate([r[0, 0, 1] for r in sc_refs], axis=1)
+            kvh = sc_refs[0].shape[-2] // 2
+            ks = jnp.concatenate([r[0, 0, :kvh] for r in sc_refs], axis=1)
+            vs = jnp.concatenate([r[0, 0, kvh:] for r in sc_refs], axis=1)
             s = s * pltpu.repeat(ks, group, axis=0)
         base = j * rows
         live = base + jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) < ctx
@@ -108,17 +109,17 @@ def _build(S, QH, hd, bs, row_dim, group, maxB, dtype, scale, quantized,
         def idx(s, j, layer_ref, tables_ref, ctx_ref):
             last = jnp.maximum(pl.cdiv(ctx_ref[s], bs) - 1, 0)
             page = tables_ref[s, jnp.minimum(j * P + p, last)]
-            return (layer_ref[0], page, 0, 0, 0)
+            return (layer_ref[0], page, 0, 0)
 
         return idx
 
     q_spec = pl.BlockSpec((1, QH, row_dim), lambda s, j, *_: (s, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_specs = [pl.BlockSpec((1, 1, 2, bs, row_dim), page_idx(p),
+    kv_specs = [pl.BlockSpec((1, 1, 2 * bs, row_dim), page_idx(p),
                              memory_space=pltpu.VMEM) for p in range(P)]
     in_specs = [q_spec] + kv_specs
     if quantized:
-        in_specs += [pl.BlockSpec((1, 1, 2, kvh, bs), page_idx(p),
+        in_specs += [pl.BlockSpec((1, 1, 2 * kvh, bs), page_idx(p),
                                   memory_space=pltpu.VMEM) for p in range(P)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -149,7 +150,8 @@ def paged_decode_attention_v4(q, cache: KVCache, block_tables, context_lens,
                               layer, *, scale: float, interpret: bool = False):
     """Same contract as paged_decode_attention (grid-pipelined variant)."""
     S, QH, hd = q.shape
-    L, NB, _, bs, row_dim = cache.kv.shape
+    L, NB, bs2, row_dim = cache.kv.shape
+    bs = bs2 // 2
     kvh = row_dim // hd
     group = QH // kvh
     maxB = block_tables.shape[1]

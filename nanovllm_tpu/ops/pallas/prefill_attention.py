@@ -86,8 +86,8 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
         for i in range(nq):
             h = i // group
             q_i = q_ref[:, i, :]                          # (CQ, hd)
-            k_h = kv_buf[slot, 0, :, h * hd:(h + 1) * hd]  # (bs, hd) col slice
-            v_h = kv_buf[slot, 1, :, h * hd:(h + 1) * hd]
+            k_h = kv_buf[slot, :bs, h * hd:(h + 1) * hd]  # (bs, hd) col slice
+            v_h = kv_buf[slot, bs:, h * hd:(h + 1) * hd]
             if quantized:
                 k_h = k_h.astype(jnp.bfloat16)
                 v_h = v_h.astype(jnp.bfloat16)
@@ -95,7 +95,7 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
                 q_i, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale   # (CQ, bs)
             if quantized:
-                s = s * sc_buf[slot, 0, h:h + 1, :]           # (1, bs) bcast
+                s = s * sc_buf[slot, h:h + 1, :]              # (1, bs) bcast
             s = jnp.where(live, s, NEG_INF)
             m_new = jnp.maximum(ms[i], jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -105,7 +105,7 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
             # V matmul only.
             ls2.append(ls[i] * corr + jnp.sum(p, axis=-1, keepdims=True))
             if quantized:
-                p = p * sc_buf[slot, 1, h:h + 1, :]
+                p = p * sc_buf[slot, kvh + h:kvh + h + 1, :]
             pv = jax.lax.dot_general(
                 p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (CQ, hd)
@@ -133,12 +133,12 @@ def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, quantized,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((N_BUF, 2, bs, kvh * hd), jnp.int8 if quantized else dtype),
+        pltpu.VMEM((N_BUF, 2 * bs, kvh * hd), jnp.int8 if quantized else dtype),
     ]
     nsems = 1
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch.append(pltpu.VMEM((N_BUF, 2, kvh, bs), jnp.float32))
+        scratch.append(pltpu.VMEM((N_BUF, 2 * kvh, bs), jnp.float32))
         nsems = 2
     scratch.append(pltpu.SemaphoreType.DMA((nsems, N_BUF)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -167,7 +167,8 @@ def ragged_prefill_attention(q, cache: KVCache, chunk_seg, chunk_pos,
     Returns (T, QH, hd). The pallas_call is memoized on shapes (one Mosaic
     lowering per shape, shared across layers and steps)."""
     T, QH, hd = q.shape
-    _, _, _, bs, row = cache.kv.shape
+    _, _, bs2, row = cache.kv.shape
+    bs = bs2 // 2
     kvh = row // hd
     group = QH // kvh
     out_dtype = jnp.dtype(jnp.bfloat16) if cache.quantized else jnp.dtype(q.dtype)

@@ -112,7 +112,7 @@ def _raw_step_dryrun(n_devices: int) -> None:
     S, maxB, bs, chunk = 4, 4, 16, 16
     nblocks = S * maxB + 1
     kv_specs = tplib.kv_cache_pspec()
-    shape = (spec.num_layers, nblocks, 2, bs, spec.num_kv_heads * spec.head_dim)
+    shape = (spec.num_layers, nblocks, 2 * bs, spec.num_kv_heads * spec.head_dim)
     val_sh = NamedSharding(mesh, kv_specs.kv)
     cache = attn_ops.KVCache(
         jax.device_put(jnp.zeros(shape, jnp.float32), val_sh))

@@ -146,13 +146,17 @@ def vl_param_pspecs(vspec, params: dict, tp: int | None = None) -> dict:
 
 
 def kv_cache_pspec(quantized: bool = False):
-    """KVCache pspecs (fused layout): values (L, NB, 2, bs, KVH*hd) shard
+    """KVCache pspecs (fused layout): values (L, NB, 2*bs, KVH*hd) shard
     the flat feature axis (contiguous column blocks are whole kv heads);
-    int8 scales (L, NB, 2, KVH, bs) shard the kv-head axis."""
+    int8 scales (L, NB, 2*KVH, bs) shard the fused kv-head row axis. Note
+    the scale rows are only meaningful SHARD-LOCALLY: each shard writes and
+    reads its (2*KVH/tp, bs) block as [local K rows | local V rows] under
+    shard_map, so the global concatenation is not the tp=1 row order — no
+    code path reads the global scale array across shards."""
     from nanovllm_tpu.ops.attention import KVCache
 
-    val = P(None, None, None, None, TP_AXIS)
-    sc = P(None, None, None, TP_AXIS, None) if quantized else None
+    val = P(None, None, None, TP_AXIS)
+    sc = P(None, None, TP_AXIS, None) if quantized else None
     return KVCache(val, sc)
 
 

@@ -70,7 +70,7 @@ def test_tp8_matches_single_device(setup):
     T = 32  # 2 seqs x 16 tokens
     meta = make_meta(S, maxB, bs, chunk, ctx=16, n_seqs=2, T=T)
     ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, T, dtype=np.int32))
-    shape = (spec.num_layers, nblocks, 2, bs,
+    shape = (spec.num_layers, nblocks, 2 * bs,
              spec.num_kv_heads * spec.head_dim)
 
     # single-device reference

@@ -47,11 +47,11 @@ def main():
     L = 2  # small stack; bandwidth behavior is per-page, layer count emulated
     maxB = 8
     rng = np.random.default_rng(0)
-    vshape = (L, args.blocks, 2, bs, kvh * hd)
+    vshape = (L, args.blocks, 2 * bs, kvh * hd)
     if args.dtype == "int8":
         cache = KVCache(
             jnp.asarray(rng.integers(-127, 127, vshape, dtype=np.int8)),
-            jnp.asarray(rng.random((L, args.blocks, 2, kvh, bs),
+            jnp.asarray(rng.random((L, args.blocks, 2 * kvh, bs),
                                    dtype=np.float32) * 0.01))
         itemsize = 1
     else:

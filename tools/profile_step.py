@@ -37,7 +37,7 @@ def main():
     # --- decode batch at fixed context -----------------------------------
     ctx = args.ctx
     npages = -(-ctx // bs)
-    batch = _fake_batch(cfg, runner.dummy_slot, S, is_prefill=False)
+    batch = _fake_batch(cfg, runner.dummy_slot, S, phase="decode")
     tables = np.zeros((S, cfg.blocks_per_seq), np.int32)
     for i in range(S):
         tables[i, :npages] = (np.arange(npages) * S + i) % (runner.num_kvcache_blocks - 1)
@@ -76,7 +76,7 @@ def main():
 
     # --- prefill bucket ---------------------------------------------------
     for T in cfg.prefill_token_buckets:
-        fb = _fake_batch(cfg, runner.dummy_slot, T, is_prefill=True)
+        fb = _fake_batch(cfg, runner.dummy_slot, T, phase="prefill")
         n = min(S, max(T // 512, 1))
         per = T // n
         for i in range(n):
