@@ -47,6 +47,13 @@ class Config:
     # prefills).
     chunked_prefill: bool = True
     prefill_step_tokens: int = 2048  # prefill-token cap per mixed step
+    # Async-decode chain: dispatch step N+1 with step N's sampled tokens
+    # still on device (the in-jit gather feeds them in as input_ids), then
+    # read step N back while N+1 runs — hides the per-step host sync that
+    # round 1 paid on every decode step (~2-4 ms of np.asarray plus the
+    # device idle gap between steps). Auto-disabled for multimodal models
+    # (their decode extras are data-dependent).
+    async_decode: bool = True
     use_graph_cache: bool = True  # persistent XLA compilation cache
     compile_cache_dir: str = os.path.expanduser("~/.cache/nanovllm_tpu_xla")
     prefill_token_buckets: tuple = _BUCKET_DEFAULT
@@ -77,6 +84,8 @@ class Config:
         if self.is_multimodal:
             self.chunked_prefill = False  # vision-slice streaming needs
             # whole-suffix prefill windows (adapter prepare_extras contract)
+            self.async_decode = False  # VL decode extras (mrope offsets)
+            # depend on per-seq state the chain batch cannot precompute
         # The budget must cover one max-length prompt after chunk alignment.
         aligned_max = -(-self.max_model_len // self.prefill_chunk) * self.prefill_chunk
         self.max_num_batched_tokens = max(self.max_num_batched_tokens, aligned_max)

@@ -65,6 +65,11 @@ class StepPlan:
     prefill: list            # [(Sequence, start, span)]
     decode: list             # [Sequence]
     phase: str               # "prefill" | "decode" | "mixed"
+    # True for async-decode chain steps: dispatched one step ahead (before
+    # the previous step's tokens reached the host), with the KV write for
+    # each lane's newest position already enqueued on device — which is what
+    # makes commit-time block sealing sound (scheduler.postprocess_plan).
+    chained: bool = False
 
     @property
     def seqs(self):

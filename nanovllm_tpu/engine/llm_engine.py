@@ -13,10 +13,13 @@ import logging
 import time
 from typing import Optional, Union
 
+import numpy as np
+
 from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.batch import StepPlan
 from nanovllm_tpu.engine.model_runner import ModelRunner
 from nanovllm_tpu.engine.scheduler import Scheduler
-from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
 from nanovllm_tpu.sampling_params import SamplingParams
 
 logger = logging.getLogger(__name__)
@@ -40,6 +43,9 @@ class LLMEngine:
         self.scheduler = Scheduler(
             self.config, self.model_runner.num_kvcache_blocks,
             non_cacheable_token_ids=self._non_cacheable_token_ids())
+        # Async-decode chain state: a dispatched-but-uncommitted step
+        # (StepPlan, device token array). See step().
+        self._inflight = None
         if kwargs.get("warmup", True):
             self.model_runner.warmup()
 
@@ -98,11 +104,68 @@ class LLMEngine:
         num_tokens > 0 counts prefill tokens, < 0 counts decode tokens
         (the reference's tqdm-throughput convention, llm_engine.py:120-127).
         With chunked_prefill (default) a step may be MIXED: capped prefill
-        windows plus decode lanes in one forward pass."""
-        plan = self.scheduler.schedule_plan()
-        if plan.is_empty:
-            return [], 0
-        token_ids = self.model_runner.run_plan(plan)
+        windows plus decode lanes in one forward pass.
+
+        Async-decode pipelining (config.async_decode): in decode steady
+        state the next step is DISPATCHED before the current step's tokens
+        are read back — its inputs are the current step's device samples,
+        gathered in-jit — so the host sync and batch prep overlap device
+        execution instead of serializing with it. Each step() call then
+        commits the PREVIOUS dispatch while the next one runs."""
+        inflight = self._inflight
+        if inflight is None:
+            plan = self.scheduler.schedule_plan()
+            if plan.is_empty:
+                return [], 0
+            _, dev_tokens = self.model_runner.dispatch_plan(plan)
+            inflight = (plan, dev_tokens)
+        # Chain the NEXT step (device) before the blocking readback below.
+        self._inflight = self._try_chain(*inflight)
+        outputs, num_tokens = self._commit(*inflight)
+        if self._inflight is not None and \
+                all(s.is_finished for s in self._inflight[0].decode):
+            # Every chained lane finished at this commit: the in-flight step
+            # is all zombies — nothing to commit, drop it.
+            self._inflight = None
+        return outputs, num_tokens
+
+    def _try_chain(self, plan, dev_tokens):
+        """Dispatch the decode step AFTER `plan` (still uncommitted) when the
+        whole batch provably stays in pure decode: no waiting work, every
+        prefill window completed its prompt, and every lane can take its
+        next page without preemption. Lanes certain to finish at commit
+        (max_tokens / max_model_len) are excluded; EOS cannot be predicted,
+        so EOS-finished lanes ride along as zombies for one step."""
+        if not self.config.async_decode or self.scheduler.num_waiting:
+            return None
+        for seq, start, span in plan.prefill:
+            if start + span < len(seq):
+                return None  # mid-prompt: next step is a prefill window
+        bm = self.scheduler.block_manager
+        seqs, slots = [], []
+        for slot, seq in enumerate(plan.seqs):
+            if seq.status is not SequenceStatus.RUNNING:
+                continue  # aborted between steps
+            if seq.num_completion_tokens + 1 >= seq.max_tokens:
+                continue  # finishes at commit (length)
+            if len(seq) + 1 >= self.config.max_model_len:
+                continue
+            seqs.append(seq)
+            slots.append(slot)
+        if not seqs:
+            return None
+        if sum(bm.can_reserve_for_chain(s) for s in seqs) > bm.num_free_blocks:
+            return None  # page pressure: let the scheduler preempt instead
+        for seq in seqs:
+            bm.reserve_for_chain(seq)
+        idx = np.zeros(self.config.max_num_seqs, np.int32)
+        idx[: len(slots)] = slots
+        _, tokens = self.model_runner.dispatch_chain(seqs, dev_tokens, idx)
+        return (StepPlan([], seqs, "decode", chained=True), tokens)
+
+    def _commit(self, plan, dev_tokens):
+        """Blocking readback + postprocess of a dispatched step."""
+        token_ids = np.asarray(dev_tokens)[: len(plan.seqs)].tolist()
         now = time.perf_counter()
         seqs = plan.seqs
         self.scheduler.postprocess_plan(plan, token_ids)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from nanovllm_tpu.config import Config
-from nanovllm_tpu.engine.batch import HostBatch, prepare_batch, prepare_plan
+from nanovllm_tpu.engine.batch import (HostBatch, prepare_batch,
+                                       prepare_chain_batch, prepare_plan)
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models.registry import get_adapter
 from nanovllm_tpu.ops import attention as attn_ops
@@ -277,6 +278,12 @@ class ModelRunner:
         attn_fn = {"prefill": self._prefill_attn,
                    "decode": self._decode_attn,
                    "mixed": self._mixed_attn_fn()}[phase]
+        if "prev_tokens" in dev:
+            # Async-decode chain: this step's input tokens are the PREVIOUS
+            # step's samples, still on device — gathered per slot in-jit so
+            # the chain never round-trips tokens through the host.
+            dev = dict(dev)
+            dev["input_ids"] = dev.pop("prev_tokens")[dev.pop("gather_idx")]
         if "extras" in dev:
             hidden, cache = self.adapter.forward(
                 params, dev["input_ids"], meta, cache, attn_fn,
@@ -302,6 +309,11 @@ class ModelRunner:
         return self.run_batch(batch, extras)
 
     def run_plan(self, plan) -> list[int]:
+        batch, tokens = self.dispatch_plan(plan)
+        return np.asarray(tokens)[: batch.num_seqs].tolist()
+
+    def dispatch_plan(self, plan):
+        """Enqueue a StepPlan; returns (HostBatch, device token array)."""
         cfg = self.config
         batch = prepare_plan(
             plan,
@@ -315,7 +327,23 @@ class ModelRunner:
         extras = None
         if hasattr(self.adapter, "prepare_extras"):
             extras = self.adapter.prepare_extras(plan.seqs, batch)
-        return self.run_batch(batch, extras)
+        return batch, self.dispatch(batch, extras)
+
+    def dispatch_chain(self, seqs, prev_tokens, gather_idx):
+        """Async-decode chain step: a pure-decode batch at each sequence's
+        virtual length len+1 whose input tokens are `prev_tokens` (the
+        in-flight step's device samples) gathered by `gather_idx`."""
+        cfg = self.config
+        batch = prepare_chain_batch(
+            seqs,
+            block_size=cfg.kvcache_block_size,
+            dummy_slot=self.dummy_slot,
+            max_num_seqs=cfg.max_num_seqs,
+            blocks_per_seq=cfg.blocks_per_seq,
+            chunk=cfg.prefill_chunk,
+        )
+        return batch, self.dispatch(batch, prev_tokens=prev_tokens,
+                                    gather_idx=gather_idx)
 
     def prepare(self, seqs: list[Sequence], is_prefill: bool) -> HostBatch:
         cfg = self.config
@@ -330,6 +358,16 @@ class ModelRunner:
         )
 
     def run_batch(self, batch: HostBatch, extras=None) -> list[int]:
+        tokens = self.dispatch(batch, extras)
+        return np.asarray(tokens)[: batch.num_seqs].tolist()
+
+    def dispatch(self, batch: HostBatch, extras=None, prev_tokens=None,
+                 gather_idx=None):
+        """Enqueue one step and return the sampled-token DEVICE array (S,)
+        without a host sync. `prev_tokens` (a previous dispatch's return
+        value, still on device) with `gather_idx` (host (S,) int32: this
+        step's slot i takes prev slot gather_idx[i]) replaces `input_ids`
+        via an in-jit gather — the async-decode chain path."""
         if extras is None and hasattr(self.adapter, "prepare_extras"):
             extras = self.adapter.prepare_extras(None, batch)
         dev = {
@@ -348,6 +386,10 @@ class ModelRunner:
             dev["decode_ctx"] = jnp.asarray(batch.decode_ctx)
         if extras is not None:
             dev["extras"] = {k: jnp.asarray(v) for k, v in extras.items()}
+        if prev_tokens is not None:
+            del dev["input_ids"]
+            dev["prev_tokens"] = prev_tokens
+            dev["gather_idx"] = jnp.asarray(gather_idx)
         filtered = bool((batch.top_k[: batch.num_seqs] > 0).any()
                         or (batch.top_p[: batch.num_seqs] < 1.0).any())
         if filtered:
@@ -359,7 +401,7 @@ class ModelRunner:
             self.params, self.cache, dev,
             jnp.asarray(self._step_counter, dtype=jnp.uint32),
             phase=phase, filtered_sampling=filtered)
-        return np.asarray(tokens)[: batch.num_seqs].tolist()
+        return tokens
 
     # -- warmup ------------------------------------------------------------
     def warmup(self):
@@ -385,8 +427,16 @@ class ModelRunner:
                     n += 1
             fake = _fake_batch(cfg, self.dummy_slot, cfg.max_num_seqs,
                                phase="decode", filtered=filtered)
-            self.run_batch(fake)
+            tok = self.dispatch(fake)
             n += 1
+            if cfg.async_decode:
+                # The chain variant is its own pytree (prev_tokens +
+                # gather_idx instead of input_ids) — warm it too.
+                tok = self.dispatch(
+                    fake, prev_tokens=tok,
+                    gather_idx=np.zeros(cfg.max_num_seqs, np.int32))
+                n += 1
+            np.asarray(tok)
         # No cache reset needed: pages are always written by a sequence's own
         # prefill before its context_lens exposes them to reads.
         logger.info("warmup compiled %d shapes in %.1fs",

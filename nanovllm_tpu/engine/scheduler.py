@@ -229,8 +229,21 @@ class Scheduler:
         for seq in plan.decode:
             token_id = token_ids[slot]
             slot += 1
+            if plan.chained and seq.status is not SequenceStatus.RUNNING:
+                # Zombie lane: the sequence finished (EOS/abort) at the
+                # previous commit, after this chain step was already
+                # dispatched. Its sampled token is discarded; its KV writes
+                # only ever touched unpublished pages.
+                continue
             seq.num_computed_tokens += 1
             self._emit(seq, token_id)
+            if plan.chained and not seq.is_finished:
+                # The chain bypasses append_slot (which seals filled blocks
+                # at schedule time), so publish just-filled trailing blocks
+                # here. Sound only for chained plans: the step writing the
+                # block's last KV row is already dispatched, so any later
+                # consumer prefill runs after it on device.
+                self.block_manager.seal_filled(seq)
 
     def _emit(self, seq: Sequence, token_id: int) -> None:
         seq.append_token(token_id)
