@@ -54,6 +54,10 @@ class Config:
     # device idle gap between steps). Auto-disabled for multimodal models
     # (their decode extras are data-dependent).
     async_decode: bool = True
+    # When set, generate()/generate_multimodal() capture a jax.profiler
+    # trace (xprof/tensorboard) of the whole run into this directory —
+    # the first-class profiling hook the reference lacks (SURVEY §5).
+    profile_trace_dir: Optional[str] = None
     use_graph_cache: bool = True  # persistent XLA compilation cache
     compile_cache_dir: str = os.path.expanduser("~/.cache/nanovllm_tpu_xla")
     prefill_token_buckets: tuple = _BUCKET_DEFAULT

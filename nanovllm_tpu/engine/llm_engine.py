@@ -271,21 +271,24 @@ class LLMEngine:
             pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
         prefill_tp = decode_tp = 0.0
         done = {}
-        while not self.is_finished():
-            t = time.perf_counter()
-            outputs, num_tokens = self.step()
-            if pbar is not None:
-                dt = max(time.perf_counter() - t, 1e-9)
-                if num_tokens > 0:
-                    prefill_tp = num_tokens / dt
-                elif num_tokens < 0:
-                    decode_tp = -num_tokens / dt
-                pbar.set_postfix({"Prefill": f"{int(prefill_tp)}tok/s",
-                                  "Decode": f"{int(decode_tp)}tok/s"})
-            for seq_id, token_ids, prompt_len, cache_tokens in outputs:
-                done[seq_id] = (token_ids, prompt_len, cache_tokens)
+        from nanovllm_tpu.utils import perf
+
+        with perf.trace(self.config.profile_trace_dir):
+            while not self.is_finished():
+                t = time.perf_counter()
+                outputs, num_tokens = self.step()
                 if pbar is not None:
-                    pbar.update(1)
+                    dt = max(time.perf_counter() - t, 1e-9)
+                    if num_tokens > 0:
+                        prefill_tp = num_tokens / dt
+                    elif num_tokens < 0:
+                        decode_tp = -num_tokens / dt
+                    pbar.set_postfix({"Prefill": f"{int(prefill_tp)}tok/s",
+                                      "Decode": f"{int(decode_tp)}tok/s"})
+                for seq_id, token_ids, prompt_len, cache_tokens in outputs:
+                    done[seq_id] = (token_ids, prompt_len, cache_tokens)
+                    if pbar is not None:
+                        pbar.update(1)
         if pbar is not None:
             pbar.close()
         results = []
