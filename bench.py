@@ -38,6 +38,8 @@ def main():
     parser.add_argument("--quantization", default=None)
     parser.add_argument("--attention-backend", default="auto")
     parser.add_argument("--smoke", action="store_true", help="tiny quick run")
+    parser.add_argument("--phase-stats", action="store_true",
+                        help="per-phase step accounting (prefill/mixed vs decode)")
     args = parser.parse_args()
 
     from nanovllm_tpu import LLM, SamplingParams
@@ -72,7 +74,26 @@ def main():
                  SamplingParams(max_tokens=8, ignore_eos=True), use_tqdm=False)
 
     t = time.time()
-    llm.generate(prompts, sps, use_tqdm=False)
+    if args.phase_stats:
+        # step() loop with per-phase accounting instead of generate().
+        for p, sp in zip(prompts, sps):
+            llm.add_request(p, sp)
+        stats = {}  # phase -> [steps, seconds, tokens]
+        while not llm.is_finished():
+            t0 = time.perf_counter()
+            _, ntok = llm.step()
+            dt0 = time.perf_counter() - t0
+            phase = "decode" if ntok < 0 else "prefill/mixed"
+            st = stats.setdefault(phase, [0, 0.0, 0])
+            st[0] += 1
+            st[1] += dt0
+            st[2] += abs(ntok)
+        for phase, (n, secs, toks) in sorted(stats.items()):
+            print(f"[phase {phase}] {n} steps, {secs:.1f}s "
+                  f"({secs/max(n,1)*1e3:.1f} ms/step), {toks} tokens "
+                  f"({toks/max(secs,1e-9):.0f} tok/s)", file=sys.stderr)
+    else:
+        llm.generate(prompts, sps, use_tqdm=False)
     dt = time.time() - t
     total_tokens = sum(sp.max_tokens for sp in sps)
     throughput = total_tokens / dt

@@ -124,6 +124,15 @@ class ModelRunner:
                     config.kvcache_block_size, gib)
 
         self.dummy_slot = (self.num_kvcache_blocks - 1) * config.kvcache_block_size
+        # Host->device transfer for batch metadata: plain asarray on one
+        # process; replicated global placement across hosts (the scheduler
+        # is a replicated state machine, so every host passes identical
+        # data — parallel/multihost.py).
+        self._put = jnp.asarray
+        if self.mesh is not None:
+            from nanovllm_tpu.parallel import multihost
+
+            self._put = multihost.replicate(self.mesh)
         self._prefill_attn, self._decode_attn = self._select_backends()
         if self.mesh is not None:
             self.params = self._shard_params(tp)
@@ -138,14 +147,13 @@ class ModelRunner:
         """Host reorder + NamedSharding placement of the weight pytree
         (replaces the reference's per-class weight_loader shard slicing,
         linear.py:54-153)."""
-        from jax.sharding import NamedSharding
+        from nanovllm_tpu.parallel import multihost
 
         host = jax.tree.map(np.asarray, self.params)
         host, pspecs = self.adapter.tp_plan(host, tp)
         self._param_pspecs = pspecs
-        sharded = jax.tree.map(
-            lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
-            host, pspecs)
+        put = multihost.shard_put(self.mesh)
+        sharded = jax.tree.map(put, host, pspecs)
         if getattr(self.adapter, "params", None) is not None:
             self.adapter.params = sharded  # vision encoders read from here
         return sharded
@@ -370,36 +378,37 @@ class ModelRunner:
         via an in-jit gather — the async-decode chain path."""
         if extras is None and hasattr(self.adapter, "prepare_extras"):
             extras = self.adapter.prepare_extras(None, batch)
+        put = self._put
         dev = {
-            "input_ids": jnp.asarray(batch.input_ids),
-            "seg_ids": jnp.asarray(batch.seg_ids),
-            "positions": jnp.asarray(batch.positions),
-            "slot_mapping": jnp.asarray(batch.slot_mapping),
-            "block_tables": jnp.asarray(batch.block_tables),
-            "context_lens": jnp.asarray(batch.context_lens),
-            "last_token_idx": jnp.asarray(batch.last_token_idx),
-            "chunk_seg": jnp.asarray(batch.chunk_seg),
-            "temperatures": jnp.asarray(batch.temperatures),
-            "num_seqs": jnp.asarray(batch.num_seqs, dtype=jnp.int32),
+            "input_ids": put(batch.input_ids),
+            "seg_ids": put(batch.seg_ids),
+            "positions": put(batch.positions),
+            "slot_mapping": put(batch.slot_mapping),
+            "block_tables": put(batch.block_tables),
+            "context_lens": put(batch.context_lens),
+            "last_token_idx": put(batch.last_token_idx),
+            "chunk_seg": put(batch.chunk_seg),
+            "temperatures": put(batch.temperatures),
+            "num_seqs": put(np.asarray(batch.num_seqs, dtype=np.int32)),
         }
         if batch.decode_ctx is not None:
-            dev["decode_ctx"] = jnp.asarray(batch.decode_ctx)
+            dev["decode_ctx"] = put(batch.decode_ctx)
         if extras is not None:
-            dev["extras"] = {k: jnp.asarray(v) for k, v in extras.items()}
+            dev["extras"] = {k: put(v) for k, v in extras.items()}
         if prev_tokens is not None:
             del dev["input_ids"]
             dev["prev_tokens"] = prev_tokens
-            dev["gather_idx"] = jnp.asarray(gather_idx)
+            dev["gather_idx"] = put(gather_idx)
         filtered = bool((batch.top_k[: batch.num_seqs] > 0).any()
                         or (batch.top_p[: batch.num_seqs] < 1.0).any())
         if filtered:
-            dev["top_k"] = jnp.asarray(batch.top_k)
-            dev["top_p"] = jnp.asarray(batch.top_p)
+            dev["top_k"] = put(batch.top_k)
+            dev["top_p"] = put(batch.top_p)
         phase = batch.phase or ("prefill" if batch.is_prefill else "decode")
         self._step_counter += 1
         self.cache, tokens = self._jit_step(
             self.params, self.cache, dev,
-            jnp.asarray(self._step_counter, dtype=jnp.uint32),
+            put(np.asarray(self._step_counter, dtype=np.uint32)),
             phase=phase, filtered_sampling=filtered)
         return tokens
 
