@@ -136,7 +136,17 @@ class LLMEngine:
         next page without preemption. Lanes certain to finish at commit
         (max_tokens / max_model_len) are excluded; EOS cannot be predicted,
         so EOS-finished lanes ride along as zombies for one step."""
-        if not self.config.async_decode or self.scheduler.num_waiting:
+        if not self.config.async_decode:
+            return None
+        if self.scheduler.num_waiting and \
+                self.scheduler.num_running < self.config.max_num_seqs:
+            # A waiting request could be admitted next step — let the
+            # scheduler run. When every lane is occupied, admission is
+            # impossible anyway, so chaining costs nothing (a lane that
+            # EOS-finishes at commit rides the chained step as a zombie and
+            # admission happens one step later) — without this, a full
+            # backlog (e.g. 256 requests over 128 lanes) disabled chaining
+            # for the whole first half of the run.
             return None
         for seq, start, span in plan.prefill:
             if start + span < len(seq):

@@ -410,6 +410,13 @@ class ModelRunner:
             self.params, self.cache, dev,
             put(np.asarray(self._step_counter, dtype=np.uint32)),
             phase=phase, filtered_sampling=filtered)
+        try:
+            # Enqueue the D2H copy NOW: on this runtime a blocking
+            # np.asarray on a not-yet-transferred result takes a slow RPC
+            # path (measured ~1.9 s vs 33 ms with the async copy enqueued).
+            tokens.copy_to_host_async()
+        except Exception:
+            pass
         return tokens
 
     # -- warmup ------------------------------------------------------------
