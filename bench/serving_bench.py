@@ -25,7 +25,7 @@ def main():
     parser.add_argument("--request-rate", type=float, default=8.0)
     parser.add_argument("--max-input-len", type=int, default=1024)
     parser.add_argument("--max-output-len", type=int, default=1024)
-    parser.add_argument("--max-num-seqs", type=int, default=96)
+    parser.add_argument("--max-num-seqs", type=int, default=160)
     parser.add_argument("--max-model-len", type=int, default=2048)
     parser.add_argument("--attention-backend", default="auto")
     parser.add_argument("--kv-cache-dtype", default="int8")

@@ -53,14 +53,14 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
                    qbd_ref,                           # (1, QH, KVH*hd) VMEM
                    *refs,
                    bs: int, row_dim: int, group: int, scale: float,
-                   quantized: bool):
+                   quantized: bool, pages_per_iter: int = PAGES_PER_ITER):
     if quantized:
         kv_hbm, sc_hbm, out_ref, kv_buf, sc_buf, sems = refs
     else:
         kv_hbm, out_ref, kv_buf, sems = refs
         sc_hbm = sc_buf = None
 
-    P = PAGES_PER_ITER
+    P = pages_per_iter
     seq = pl.program_id(0)
     layer = layer_ref[0]
     ctx = ctx_ref[seq]
@@ -159,7 +159,7 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
 
 @functools.lru_cache(maxsize=64)
 def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
-                  interpret):
+                  interpret, pages_per_iter=PAGES_PER_ITER):
     kvh = row_dim // hd
     in_specs = [
         pl.BlockSpec((1, QH, row_dim), lambda i, *_: (i, 0, 0),
@@ -167,16 +167,16 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((N_BUF, PAGES_PER_ITER, 2 * bs, row_dim),
+        pltpu.VMEM((N_BUF, pages_per_iter, 2 * bs, row_dim),
                    jnp.int8 if quantized else dtype),
     ]
     nsems = 1
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(
-            pltpu.VMEM((N_BUF, PAGES_PER_ITER, 2 * kvh, bs), jnp.float32))
+            pltpu.VMEM((N_BUF, pages_per_iter, 2 * kvh, bs), jnp.float32))
         nsems = 2
-    scratch.append(pltpu.SemaphoreType.DMA((nsems, N_BUF, PAGES_PER_ITER)))
+    scratch.append(pltpu.SemaphoreType.DMA((nsems, N_BUF, pages_per_iter)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -188,7 +188,8 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
     )
     return pl.pallas_call(
         functools.partial(_decode_kernel, bs=bs, row_dim=row_dim, group=group,
-                          scale=scale, quantized=quantized),
+                          scale=scale, quantized=quantized,
+                          pages_per_iter=pages_per_iter),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, QH, row_dim), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -198,7 +199,8 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
 
 
 def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
-                           layer, *, scale: float, interpret: bool = False):
+                           layer, *, scale: float, interpret: bool = False,
+                           pages_per_iter: int = PAGES_PER_ITER):
     """q: (S, QH, hd); cache values (L, NB, 2*bs, KVH*hd); layer: () int32.
     Returns (S, QH, hd). Slots with context_len == 0 yield zeros.
 
@@ -223,7 +225,8 @@ def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
     out_dtype = jnp.dtype(jnp.bfloat16) if cache.quantized else jnp.dtype(q.dtype)
 
     kernel = _build_kernel(S, QH, hd, bs, row_dim, group, out_dtype,
-                           float(scale), cache.quantized, interpret)
+                           float(scale), cache.quantized, interpret,
+                           pages_per_iter)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     args = [layer, block_tables, context_lens, q_bd.astype(out_dtype),
             cache.kv]

@@ -29,6 +29,7 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--kernel", default="v3", choices=["v3", "v4"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
+    p.add_argument("--pages-per-iter", type=int, default=2)
     args = p.parse_args()
 
     import jax
@@ -65,7 +66,9 @@ def main():
     def run(q, cache, tables, ctx):
         out = q
         for i in range(args.layers):
-            out = attn(out, cache, tables, ctx, i % L, scale=hd ** -0.5)
+            kw = {"pages_per_iter": args.pages_per_iter} \
+                if args.kernel == "v3" else {}
+            out = attn(out, cache, tables, ctx, i % L, scale=hd ** -0.5, **kw)
         return out
 
     for ctx_len in [int(x) for x in args.ctxs.split(",")]:
