@@ -292,13 +292,18 @@ class ModelRunner:
             # the chain never round-trips tokens through the host.
             dev = dict(dev)
             dev["input_ids"] = dev.pop("prev_tokens")[dev.pop("gather_idx")]
+        # Pure-decode steps: every live lane writes a distinct page (padding
+        # lanes share the never-read dummy page), so write_kv can take the
+        # cheaper single-pass scale update. Static per phase.
+        kv_unique = phase == "decode"
         if "extras" in dev:
             hidden, cache = self.adapter.forward(
                 params, dev["input_ids"], meta, cache, attn_fn,
-                extras=dev["extras"])
+                extras=dev["extras"], kv_unique=kv_unique)
         else:
             hidden, cache = self.adapter.forward(
-                params, dev["input_ids"], meta, cache, attn_fn)
+                params, dev["input_ids"], meta, cache, attn_fn,
+                kv_unique=kv_unique)
         logits = self.adapter.compute_logits(params, hidden)
         key = jax.random.fold_in(jax.random.key(self.config.seed), step_idx)
         if filtered_sampling:

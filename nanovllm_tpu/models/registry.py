@@ -76,9 +76,10 @@ class DenseAdapter:
         return params, pspecs
 
     # -- compute ----------------------------------------------------------
-    def forward(self, params, input_ids, meta, cache, attn_fn):
+    def forward(self, params, input_ids, meta, cache, attn_fn,
+                kv_unique=False):
         return dense.forward(self.spec, params, input_ids, meta, cache,
-                             attn_fn=attn_fn)
+                             attn_fn=attn_fn, kv_unique=kv_unique)
 
     def compute_logits(self, params, hidden):
         return dense.compute_logits(self.spec, params, hidden)
@@ -131,11 +132,12 @@ class MoEAdapter:
         self.spec = tplib.local_moe_spec(self.spec, tp)
         return params, pspecs
 
-    def forward(self, params, input_ids, meta, cache, attn_fn):
+    def forward(self, params, input_ids, meta, cache, attn_fn,
+                kv_unique=False):
         from nanovllm_tpu.models import moe
 
         return moe.forward(self.spec, params, input_ids, meta, cache,
-                           attn_fn=attn_fn)
+                           attn_fn=attn_fn, kv_unique=kv_unique)
 
     def compute_logits(self, params, hidden):
         from nanovllm_tpu.models import moe
@@ -249,9 +251,11 @@ class VLAdapter:
         return params, pspecs
 
     # -- compute ----------------------------------------------------------
-    def forward(self, params, input_ids, meta, cache, attn_fn, extras=None):
+    def forward(self, params, input_ids, meta, cache, attn_fn, extras=None,
+                kv_unique=False):
         return self.vlmod.text_forward(self.spec, params, input_ids, meta,
-                                       cache, attn_fn=attn_fn, extras=extras)
+                                       cache, attn_fn=attn_fn, extras=extras,
+                                       kv_unique=kv_unique)
 
     def compute_logits(self, params, hidden):
         return dense.compute_logits(self.spec.text, params, hidden)

@@ -147,7 +147,8 @@ class AttnMeta(NamedTuple):
     decode_context_lens: jax.Array | None = None
 
 
-def write_kv(cache: KVCache, k, v, slot_mapping, layer=None) -> KVCache:
+def write_kv(cache: KVCache, k, v, slot_mapping, layer=None,
+             unique: bool = False) -> KVCache:
     """Scatter new K/V rows into the fused paged cache (quantizing if int8).
 
     Canonical value shape: (num_blocks, 2*block_size, KVH*head_dim) — K rows
@@ -182,15 +183,28 @@ def write_kv(cache: KVCache, k, v, slot_mapping, layer=None) -> KVCache:
     # scale layout while the attention kernels pin the standard one — it then
     # inserts a full-array layout copy of the scale stack INSIDE the layer
     # scan (measured: 477 MB x 28 layers of pure copy per step; engine decode
-    # 210 ms vs 56 ms bf16). Recasting the update as two FULL-PAGE-window
-    # scatters (zero the column, add the new values) leaves the layout free,
-    # and duplicates commute, so prefill runs hitting one page many times in
-    # a step stay correct. Extra traffic: 4 page-traversals per token
-    # (~16 KiB each) — noise next to the KV stream itself.
+    # 210 ms vs 56 ms bf16). Recasting the update as FULL-PAGE-window
+    # scatters leaves the layout free. Two forms:
+    #   * unique=True (pure-decode steps: every live lane writes its own
+    #     last page; padding lanes share the never-read dummy page, where
+    #     last-wins garbage is harmless): gather the pages, blend the new
+    #     column, one set — 2 page-traversals per token.
+    #   * unique=False (prefill/mixed: one page can take many tokens):
+    #     zero the column via mul, then add — duplicates commute, 4
+    #     page-traversals per token.
     T = sc.shape[0]
     new = jnp.concatenate([sc[:, 0], sc[:, 1]], axis=1)   # (T, 2*KVH)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (T, 1, bs), 2)
-              == offs[:, None, None]).astype(jnp.float32)
+              == offs[:, None, None])
+    if unique:
+        pages = _sel(cache.scale, layer, blocks)          # (T, 2*KVH, bs)
+        pages = jnp.where(onehot, new[:, :, None], pages)
+        if layer is None:
+            scs = cache.scale.at[blocks].set(pages, mode="drop")
+        else:
+            scs = cache.scale.at[layer, blocks].set(pages, mode="drop")
+        return KVCache(vals, scs)
+    onehot = onehot.astype(jnp.float32)
     if layer is None:
         scs = cache.scale.at[blocks].mul(1.0 - onehot, mode="drop")
         scs = scs.at[blocks].add(new[:, :, None] * onehot, mode="drop")

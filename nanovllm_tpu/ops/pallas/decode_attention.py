@@ -53,7 +53,8 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
                    qbd_ref,                           # (1, QH, KVH*hd) VMEM
                    *refs,
                    bs: int, row_dim: int, group: int, scale: float,
-                   quantized: bool, pages_per_iter: int = PAGES_PER_ITER):
+                   quantized: bool, pages_per_iter: int = PAGES_PER_ITER,
+                   n_buf: int = N_BUF):
     if quantized:
         kv_hbm, sc_hbm, out_ref, kv_buf, sc_buf, sems = refs
     else:
@@ -85,9 +86,11 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
                 for c in copies:
                     (c.start if do_start else c.wait)()
 
-    @pl.when(niters > 0)
-    def _():
-        page_dmas(0, 0, True)
+    # Pipeline prologue: keep n_buf - 1 iterations' DMAs in flight.
+    for it0 in range(n_buf - 1):
+        @pl.when(it0 < niters)
+        def _(it0=it0):
+            page_dmas(it0, it0, True)
 
     q_bd = qbd_ref[0]                                  # (QH, KVH*hd)
     nq = q_bd.shape[0]
@@ -108,11 +111,13 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
 
     def body(it, carry):
         m, l, acc = carry
-        slot = it % N_BUF
+        slot = it % n_buf
 
-        @pl.when(it + 1 < niters)
+        nxt = it + n_buf - 1
+
+        @pl.when(nxt < niters)
         def _():
-            page_dmas(it + 1, (it + 1) % N_BUF, True)
+            page_dmas(nxt, nxt % n_buf, True)
 
         page_dmas(it, slot, False)
 
@@ -159,7 +164,7 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
 
 @functools.lru_cache(maxsize=64)
 def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
-                  interpret, pages_per_iter=PAGES_PER_ITER):
+                  interpret, pages_per_iter=PAGES_PER_ITER, n_buf=N_BUF):
     kvh = row_dim // hd
     in_specs = [
         pl.BlockSpec((1, QH, row_dim), lambda i, *_: (i, 0, 0),
@@ -167,16 +172,16 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((N_BUF, pages_per_iter, 2 * bs, row_dim),
+        pltpu.VMEM((n_buf, pages_per_iter, 2 * bs, row_dim),
                    jnp.int8 if quantized else dtype),
     ]
     nsems = 1
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(
-            pltpu.VMEM((N_BUF, pages_per_iter, 2 * kvh, bs), jnp.float32))
+            pltpu.VMEM((n_buf, pages_per_iter, 2 * kvh, bs), jnp.float32))
         nsems = 2
-    scratch.append(pltpu.SemaphoreType.DMA((nsems, N_BUF, pages_per_iter)))
+    scratch.append(pltpu.SemaphoreType.DMA((nsems, n_buf, pages_per_iter)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -189,7 +194,7 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
     return pl.pallas_call(
         functools.partial(_decode_kernel, bs=bs, row_dim=row_dim, group=group,
                           scale=scale, quantized=quantized,
-                          pages_per_iter=pages_per_iter),
+                          pages_per_iter=pages_per_iter, n_buf=n_buf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, QH, row_dim), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -200,7 +205,8 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
 
 def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                            layer, *, scale: float, interpret: bool = False,
-                           pages_per_iter: int = PAGES_PER_ITER):
+                           pages_per_iter: int = PAGES_PER_ITER,
+                           n_buf: int = N_BUF):
     """q: (S, QH, hd); cache values (L, NB, 2*bs, KVH*hd); layer: () int32.
     Returns (S, QH, hd). Slots with context_len == 0 yield zeros.
 
@@ -226,7 +232,7 @@ def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
 
     kernel = _build_kernel(S, QH, hd, bs, row_dim, group, out_dtype,
                            float(scale), cache.quantized, interpret,
-                           pages_per_iter)
+                           pages_per_iter, n_buf)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     args = [layer, block_tables, context_lens, q_bd.astype(out_dtype),
             cache.kv]

@@ -70,6 +70,19 @@ class EngineArgs:
 
 @dataclass
 class AsyncEngineArgs(EngineArgs):
-    """Async serving args (online server lands with the async engine)."""
+    """Async serving args — used by entrypoints/api_server.py (the
+    reference keeps this as a stub with no async engine behind it,
+    reference arg_utils.py:83-95)."""
 
     disable_log_requests: bool = False
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        EngineArgs.add_cli_args(parser)
+        parser.add_argument("--disable-log-requests", action="store_true")
+        return parser
+
+    def engine_kwargs(self) -> dict:
+        kw = super().engine_kwargs()
+        kw.pop("disable_log_requests", None)
+        return kw

@@ -30,6 +30,7 @@ def main():
     p.add_argument("--kernel", default="v3", choices=["v3", "v4"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
     p.add_argument("--pages-per-iter", type=int, default=2)
+    p.add_argument("--n-buf", type=int, default=2)
     args = p.parse_args()
 
     import jax
@@ -66,7 +67,7 @@ def main():
     def run(q, cache, tables, ctx):
         out = q
         for i in range(args.layers):
-            kw = {"pages_per_iter": args.pages_per_iter} \
+            kw = {"pages_per_iter": args.pages_per_iter, "n_buf": args.n_buf} \
                 if args.kernel == "v3" else {}
             out = attn(out, cache, tables, ctx, i % L, scale=hd ** -0.5, **kw)
         return out
