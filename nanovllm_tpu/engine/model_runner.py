@@ -292,18 +292,22 @@ class ModelRunner:
             # the chain never round-trips tokens through the host.
             dev = dict(dev)
             dev["input_ids"] = dev.pop("prev_tokens")[dev.pop("gather_idx")]
-        # Pure-decode steps: every live lane writes a distinct page (padding
-        # lanes share the never-read dummy page), so write_kv can take the
-        # cheaper single-pass scale update. Static per phase.
-        kv_unique = phase == "decode"
+        # KV-write strategy is static per phase: decode writes one distinct
+        # page per live lane (single-pass scale update); prefill's
+        # chunk-aligned layout allows whole-chunk dynamic_update_slices
+        # when the chunk divides the page (attn_ops.write_kv_mode).
+        aligned = self.config.kvcache_block_size % self.config.prefill_chunk == 0
+        kv_mode = {"decode": "unique",
+                   "prefill": "chunks" if aligned else "scatter",
+                   "mixed": "mixed" if aligned else "scatter"}[phase]
         if "extras" in dev:
             hidden, cache = self.adapter.forward(
                 params, dev["input_ids"], meta, cache, attn_fn,
-                extras=dev["extras"], kv_unique=kv_unique)
+                extras=dev["extras"], kv_mode=kv_mode)
         else:
             hidden, cache = self.adapter.forward(
                 params, dev["input_ids"], meta, cache, attn_fn,
-                kv_unique=kv_unique)
+                kv_mode=kv_mode)
         logits = self.adapter.compute_logits(params, hidden)
         key = jax.random.fold_in(jax.random.key(self.config.seed), step_idx)
         if filtered_sampling:

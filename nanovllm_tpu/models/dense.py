@@ -88,7 +88,7 @@ def _split_qkv(qkv, spec: DenseSpec):
 
 def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
                   cache, layer_idx, meta: attn_ops.AttnMeta,
-                  attn_fn, kv_unique: bool = False):
+                  attn_fn, kv_mode: str = "scatter"):
     """One decoder layer. h/residual: (T, D). `cache` is the FULL stacked
     KVCache; all reads/writes go through fused layer-indexed
     gathers/scatters so no per-layer slice is materialized."""
@@ -108,8 +108,8 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     q = apply_rope_gathered(q, cos, sin)
     k = apply_rope_gathered(k, cos, sin)
 
-    cache = attn_ops.write_kv(cache, k, v, meta.slot_mapping, layer=layer_idx,
-                              unique=kv_unique)
+    cache = attn_ops.write_kv_mode(cache, k, v, meta, layer_idx,
+                                   mode=kv_mode)
     o = attn_fn(q, cache, meta, spec.head_dim ** -0.5, layer_idx)
     o = quant_matmul(o.reshape(T, spec.q_size), lp["wo"], lp.get("wo_scale"))
     if spec.tp_axis:
@@ -132,7 +132,7 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
 
 
 def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
-            cache: attn_ops.KVCache, attn_fn=None, kv_unique: bool = False):
+            cache: attn_ops.KVCache, attn_fn=None, kv_mode: str = "scatter"):
     """Run the decoder. input_ids: (T,). `cache` is the stacked KVCache,
     expected donated by the caller's jit. Returns (last_hidden (S, D),
     cache)."""
@@ -149,7 +149,7 @@ def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
         lp, idx = xs
         h, residual, cache = decoder_layer(
             spec, lp, h, residual, cos, sin, cache, idx, meta, attn_fn,
-            kv_unique=kv_unique)
+            kv_mode=kv_mode)
         return (h, residual, cache), None
 
     idxs = jnp.arange(spec.num_layers, dtype=jnp.int32)

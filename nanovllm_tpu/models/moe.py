@@ -165,7 +165,7 @@ def moe_block(spec: MoESpec, lp, x):
 
 
 def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
-                  meta, attn_fn, kv_unique: bool = False):
+                  meta, attn_fn, kv_mode: str = "scatter"):
     b = spec.base
     T = h.shape[0]
     normed, residual = add_rms_norm(h, residual, lp["ln1"], b.rms_norm_eps)
@@ -179,8 +179,8 @@ def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
         k = rms_norm(k, lp["k_norm"], b.rms_norm_eps)
     q = apply_rope_gathered(q, cos, sin)
     k = apply_rope_gathered(k, cos, sin)
-    cache = attn_ops.write_kv(cache, k, v, meta.slot_mapping, layer=layer_idx,
-                              unique=kv_unique)
+    cache = attn_ops.write_kv_mode(cache, k, v, meta, layer_idx,
+                                   mode=kv_mode)
     o = attn_fn(q, cache, meta, b.head_dim ** -0.5, layer_idx)
     o = quant_matmul(o.reshape(T, b.q_size), lp["wo"], lp.get("wo_scale"))
     if b.tp_axis:
@@ -192,7 +192,7 @@ def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
 
 
 def forward(spec: MoESpec, params, input_ids, meta, cache, attn_fn=None,
-            kv_unique: bool = False):
+            kv_mode: str = "scatter"):
     if attn_fn is None:
         attn_fn = dense.default_attn_fn
     b = spec.base
@@ -206,7 +206,7 @@ def forward(spec: MoESpec, params, input_ids, meta, cache, attn_fn=None,
         lp, idx = xs
         h, residual, cache = decoder_layer(
             spec, lp, h, residual, cos, sin, cache, idx, meta, attn_fn,
-            kv_unique=kv_unique)
+            kv_mode=kv_mode)
         return (h, residual, cache), None
 
     idxs = jnp.arange(b.num_layers, dtype=jnp.int32)

@@ -252,7 +252,7 @@ def compute_mrope_positions(token_ids, placeholders, grids, merge,
 # ---------------------------------------------------------------------------
 
 def text_forward(spec: VLSpec, params, input_ids, meta, cache, attn_fn=None,
-                 extras=None, kv_unique: bool = False):
+                 extras=None, kv_mode: str = "scatter"):
     """extras: mm_embeds (T, D), visual_mask (T,) bool, deepstack
     (n_ds, T, D) already zero at text rows, mrope_pos (3, T)."""
     if attn_fn is None:
@@ -277,7 +277,7 @@ def text_forward(spec: VLSpec, params, input_ids, meta, cache, attn_fn=None,
         lp, idx = xs
         h, residual, cache = dense.decoder_layer(
             ts, lp, h, residual, cos, sin, cache, idx, meta, attn_fn,
-            kv_unique=kv_unique)
+            kv_mode=kv_mode)
         if n_ds:
             ds = jax.lax.dynamic_index_in_dim(
                 deepstack, jnp.minimum(idx, n_ds - 1), 0, keepdims=False)

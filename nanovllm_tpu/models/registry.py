@@ -77,9 +77,9 @@ class DenseAdapter:
 
     # -- compute ----------------------------------------------------------
     def forward(self, params, input_ids, meta, cache, attn_fn,
-                kv_unique=False):
+                kv_mode="scatter"):
         return dense.forward(self.spec, params, input_ids, meta, cache,
-                             attn_fn=attn_fn, kv_unique=kv_unique)
+                             attn_fn=attn_fn, kv_mode=kv_mode)
 
     def compute_logits(self, params, hidden):
         return dense.compute_logits(self.spec, params, hidden)
@@ -133,11 +133,11 @@ class MoEAdapter:
         return params, pspecs
 
     def forward(self, params, input_ids, meta, cache, attn_fn,
-                kv_unique=False):
+                kv_mode="scatter"):
         from nanovllm_tpu.models import moe
 
         return moe.forward(self.spec, params, input_ids, meta, cache,
-                           attn_fn=attn_fn, kv_unique=kv_unique)
+                           attn_fn=attn_fn, kv_mode=kv_mode)
 
     def compute_logits(self, params, hidden):
         from nanovllm_tpu.models import moe
@@ -252,10 +252,10 @@ class VLAdapter:
 
     # -- compute ----------------------------------------------------------
     def forward(self, params, input_ids, meta, cache, attn_fn, extras=None,
-                kv_unique=False):
+                kv_mode="scatter"):
         return self.vlmod.text_forward(self.spec, params, input_ids, meta,
                                        cache, attn_fn=attn_fn, extras=extras,
-                                       kv_unique=kv_unique)
+                                       kv_mode=kv_mode)
 
     def compute_logits(self, params, hidden):
         return dense.compute_logits(self.spec.text, params, hidden)

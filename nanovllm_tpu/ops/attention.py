@@ -147,6 +147,93 @@ class AttnMeta(NamedTuple):
     decode_context_lens: jax.Array | None = None
 
 
+def write_kv_mode(cache: KVCache, k, v, meta: "AttnMeta", layer,
+                  mode: str = "scatter") -> KVCache:
+    """Static-phase dispatch for the KV write (mode is trace-time):
+      "scatter" — general per-row scatter (works for any slot pattern);
+      "unique"  — pure decode: one distinct page per live lane, single-pass
+                  scale update;
+      "chunks"  — pure prefill in the chunk-aligned layout: DUS per chunk;
+      "mixed"   — [prefill region | decode rows]: chunks + unique."""
+    if mode == "chunks":
+        chunk = k.shape[0] // meta.chunk_seg.shape[0]
+        return write_kv_chunks(cache, k, v, meta.slot_mapping, chunk, layer)
+    if mode == "mixed":
+        S = meta.context_lens.shape[0]
+        Tp = k.shape[0] - S
+        chunk = Tp // meta.chunk_seg.shape[0]
+        cache = write_kv_chunks(cache, k[:Tp], v[:Tp],
+                                meta.slot_mapping[:Tp], chunk, layer)
+        return write_kv(cache, k[Tp:], v[Tp:], meta.slot_mapping[Tp:],
+                        layer, unique=True)
+    return write_kv(cache, k, v, meta.slot_mapping, layer,
+                    unique=(mode == "unique"))
+
+
+def write_kv_chunks(cache: KVCache, k, v, slot_mapping, chunk: int,
+                    layer=None) -> KVCache:
+    """Prefill fast path: chunk-runs written with dynamic_update_slice.
+
+    The chunk-aligned prefill layout guarantees each `chunk`-token group is
+    one sequence's CONSECUTIVE slots inside ONE page: runs start
+    chunk-aligned in position space (window spans are budget-cut to chunk
+    multiples, scheduler.py; prefix-cache resumes are block-aligned) and
+    chunk | block_size, so a chunk never crosses a page boundary. Each
+    chunk's K rows, V rows, and scale columns land with one
+    dynamic_update_slice each instead of `chunk` scatter items — the
+    per-item scatter loop measured ~128 ns/row, 14.7 ms (values) + 14.5 ms
+    (scales) of a 78 ms T=2048 prefill step.
+
+    Intra-chunk padding rows (a sequence's last, partially-filled chunk)
+    write garbage into that sequence's own page PAST its live length:
+    context_lens-capped reads never see them and later appends overwrite
+    them. All-pad chunks target the reserved dummy page.
+    """
+    T = k.shape[0]
+    bs = cache.block_size
+    assert T % chunk == 0 and bs % chunk == 0, (T, chunk, bs)
+    kv = jnp.stack([k, v], axis=1)                     # (T, 2, KVH, hd)
+    sc = None
+    if cache.quantized:
+        kv, sc = quantize_rows(kv)
+    kvf = kv.reshape(T, 2, -1).astype(cache.kv.dtype)
+    krows, vrows = kvf[:, 0], kvf[:, 1]                # (T, KVH*hd)
+    scrows = None
+    if cache.quantized:
+        scrows = jnp.concatenate([sc[:, 0], sc[:, 1]], axis=1)  # (T, 2*KVH)
+
+    def body(c, carry):
+        vals, scs = carry
+        slot0 = slot_mapping[c * chunk]
+        page = slot0 // bs
+        off = slot0 % bs
+        kc = jax.lax.dynamic_slice_in_dim(krows, c * chunk, chunk)
+        vc = jax.lax.dynamic_slice_in_dim(vrows, c * chunk, chunk)
+        if layer is None:
+            vals = jax.lax.dynamic_update_slice(vals, kc[None], (page, off, 0))
+            vals = jax.lax.dynamic_update_slice(
+                vals, vc[None], (page, bs + off, 0))
+        else:
+            vals = jax.lax.dynamic_update_slice(
+                vals, kc[None, None], (layer, page, off, 0))
+            vals = jax.lax.dynamic_update_slice(
+                vals, vc[None, None], (layer, page, bs + off, 0))
+        if scs is not None:
+            scc = jnp.swapaxes(jax.lax.dynamic_slice_in_dim(
+                scrows, c * chunk, chunk), 0, 1)       # (2*KVH, chunk)
+            if layer is None:
+                scs = jax.lax.dynamic_update_slice(
+                    scs, scc[None], (page, 0, off))
+            else:
+                scs = jax.lax.dynamic_update_slice(
+                    scs, scc[None, None], (layer, page, 0, off))
+        return vals, scs
+
+    vals, scs = jax.lax.fori_loop(
+        0, T // chunk, body, (cache.kv, cache.scale))
+    return KVCache(vals, scs)
+
+
 def write_kv(cache: KVCache, k, v, slot_mapping, layer=None,
              unique: bool = False) -> KVCache:
     """Scatter new K/V rows into the fused paged cache (quantizing if int8).

@@ -120,3 +120,76 @@ def test_engine_e2e_int8_kv_matches_fp32_logits():
     # near-uniform logits, so allow the tail to diverge)
     assert out_fp[0]["token_ids"][:2] == out_q8[0]["token_ids"][:2]
     assert len(out_q8[0]["token_ids"]) == 8
+
+
+def test_write_kv_chunks_matches_scatter():
+    """write_kv_chunks / write_kv_mode must equal the general scatter on a
+    chunk-aligned layout: multi-sequence runs, off-page-start (offset 128 in
+    a 256 page), a partially-live chunk, an all-pad dummy chunk, and the
+    mixed [prefill | decode] split — bf16 and int8."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nanovllm_tpu.ops import attention as attn_ops
+
+    rng = np.random.default_rng(7)
+    L, NB, bs, KVH, hd, CQ = 2, 8, 256, 2, 16, 128
+    dummy = (NB - 1) * bs
+
+    # seq A: positions 128..383 in pages 2,3 (starts mid-page);
+    # seq B: positions 0..127 in page 5; last chunk = pure padding.
+    slots = np.concatenate([
+        2 * bs + np.arange(128, 256),          # A chunk 0 (page 2, off 128)
+        3 * bs + np.arange(0, 128),            # A chunk 1 (page 3, off 0)
+        5 * bs + np.arange(0, 128),            # B chunk 2 (page 5, off 0)
+        np.full(128, dummy),                   # pad chunk -> dummy page
+    ]).astype(np.int32)
+    T = slots.shape[0]
+    k = jnp.asarray(rng.standard_normal((T, KVH, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, KVH, hd)), jnp.float32)
+
+    for quant in (False, True):
+        cache = attn_ops.KVCache.zeros(L, NB, bs, KVH, hd,
+                                       dtype=jnp.float32, quantized=quant)
+        a = attn_ops.write_kv(cache, k, v, jnp.asarray(slots), layer=1)
+        b = attn_ops.write_kv_chunks(cache, k, v, jnp.asarray(slots), CQ,
+                                     layer=1)
+        # Compare only the slots this step wrote (chunked mode may write
+        # garbage into pad rows of the dummy page, which is reserved).
+        real = slots[slots != dummy]
+        pg, off = real // bs, real % bs
+        np.testing.assert_array_equal(np.asarray(a.kv[1, pg, off]),
+                                      np.asarray(b.kv[1, pg, off]))
+        np.testing.assert_array_equal(np.asarray(a.kv[1, pg, bs + off]),
+                                      np.asarray(b.kv[1, pg, bs + off]))
+        if quant:
+            np.testing.assert_array_equal(
+                np.asarray(a.scale[1, pg, :, off]),
+                np.asarray(b.scale[1, pg, :, off]))
+
+    # Mixed: prefill region (2 chunks) + 4 decode rows on distinct pages.
+    Td = 4
+    dslots = np.array([0 * bs + 5, 1 * bs + 9, 4 * bs + 77, dummy],
+                      np.int32)
+    mslots = np.concatenate([slots[:2 * CQ], dslots])
+    km = jnp.asarray(rng.standard_normal((2 * CQ + Td, KVH, hd)), jnp.float32)
+    vm = jnp.asarray(rng.standard_normal((2 * CQ + Td, KVH, hd)), jnp.float32)
+    meta = attn_ops.AttnMeta(
+        seg_ids=jnp.zeros(2 * CQ + Td, jnp.int32),
+        positions=jnp.zeros(2 * CQ + Td, jnp.int32),
+        slot_mapping=jnp.asarray(mslots),
+        block_tables=jnp.zeros((Td, 4), jnp.int32),
+        context_lens=jnp.zeros(Td, jnp.int32),
+        last_token_idx=jnp.zeros(Td, jnp.int32),
+        chunk_seg=jnp.zeros(2, jnp.int32),
+        num_seqs=jnp.asarray(Td))
+    cache = attn_ops.KVCache.zeros(L, NB, bs, KVH, hd,
+                                   dtype=jnp.float32, quantized=True)
+    a = attn_ops.write_kv(cache, km, vm, jnp.asarray(mslots), layer=0)
+    b = attn_ops.write_kv_mode(cache, km, vm, meta, 0, mode="mixed")
+    real = mslots[mslots != dummy]
+    pg, off = real // bs, real % bs
+    np.testing.assert_array_equal(np.asarray(a.kv[0, pg, off]),
+                                  np.asarray(b.kv[0, pg, off]))
+    np.testing.assert_array_equal(np.asarray(a.scale[0, pg, :, off]),
+                                  np.asarray(b.scale[0, pg, :, off]))
