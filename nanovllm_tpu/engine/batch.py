@@ -48,6 +48,7 @@ class HostBatch:
     seq_token_offsets: list = None  # per-seq start row in the token layout
     phase: str = None         # "prefill" | "decode" | "mixed"
     decode_ctx: np.ndarray = None  # (S,) int32, mixed steps only
+    gather_idx: np.ndarray = None  # (T,) int32, chained plans: -1 = host row
 
 
 @dataclass
@@ -106,12 +107,20 @@ def prepare_plan(
     blocks_per_seq: int,
     token_buckets: Seq[int],
     chunk: int = 128,
+    virtual_lanes: list = None,
 ) -> HostBatch:
     """StepPlan -> fixed-shape arrays. Token layout: [prefill region | decode
     region]. The prefill region is the chunk-aligned windows (bucketed); the
     decode region, present only in mixed/decode phases, is S single-token
     rows where row Tp+i belongs to slot i (padding rows for prefilling
-    slots carry decode_ctx 0 so the decode kernel skips them)."""
+    slots carry decode_ctx 0 so the decode kernel skips them).
+
+    virtual_lanes (chained plans): list aligned with plan.decode; entry j is
+    the PREVIOUS step's slot index whose sampled token is lane j's input
+    (the lane then runs at virtual length len+1 — the token is appended at
+    the previous step's commit), or -1 for a lane whose input token is
+    already on the host. Fills batch.gather_idx: (T,) int32, -1 = host
+    input_ids row, >=0 = gather from the in-flight step's token array."""
     S = max_num_seqs
     n_p, n_d = len(plan.prefill), len(plan.decode)
     n = n_p + n_d
@@ -143,6 +152,10 @@ def prepare_plan(
     # decode batches would change the jit pytree and fork the compile).
     mixed = has_decode and n_p > 0
     decode_ctx = np.zeros(S, dtype=np.int32) if mixed else None
+    gather_idx = None
+    if virtual_lanes is not None:
+        assert len(virtual_lanes) == n_d
+        gather_idx = np.full(T, -1, dtype=np.int32)
 
     def fill_slot(i, seq):
         table = seq.block_table
@@ -173,13 +186,18 @@ def prepare_plan(
     for j, seq in enumerate(plan.decode):
         i = n_p + j
         fill_slot(i, seq)
-        context_lens[i] = len(seq)
+        virt = virtual_lanes is not None and virtual_lanes[j] >= 0
+        L = len(seq) + (1 if virt else 0)
+        context_lens[i] = L
         if mixed:
-            decode_ctx[i] = len(seq)
+            decode_ctx[i] = L
         row = Tp + i
         offsets.append(row)
-        input_ids[row] = seq.last_token
-        pos = len(seq) - 1
+        if virt:
+            gather_idx[row] = virtual_lanes[j]
+        else:
+            input_ids[row] = seq.last_token
+        pos = L - 1
         positions[row] = pos
         seg_ids[row] = i
         slot_mapping[row] = seq.block_table[pos // block_size] * block_size \
@@ -204,6 +222,7 @@ def prepare_plan(
         seq_token_offsets=offsets,
         phase=plan.phase,
         decode_ctx=decode_ctx,
+        gather_idx=gather_idx,
     )
 
 

@@ -122,56 +122,43 @@ class LLMEngine:
         # Chain the NEXT step (device) before the blocking readback below.
         self._inflight = self._try_chain(*inflight)
         outputs, num_tokens = self._commit(*inflight)
-        if self._inflight is not None and \
-                all(s.is_finished for s in self._inflight[0].decode):
-            # Every chained lane finished at this commit: the in-flight step
-            # is all zombies — nothing to commit, drop it.
-            self._inflight = None
+        if self._inflight is not None:
+            nplan = self._inflight[0]
+            if not nplan.prefill and nplan.decode \
+                    and all(s.is_finished for s in nplan.decode):
+                # Every chained lane finished at this commit: the in-flight
+                # step is all zombies — nothing to commit, drop it.
+                self._inflight = None
         return outputs, num_tokens
 
     def _try_chain(self, plan, dev_tokens):
-        """Dispatch the decode step AFTER `plan` (still uncommitted) when the
-        whole batch provably stays in pure decode: no waiting work, every
-        prefill window completed its prompt, and every lane can take its
-        next page without preemption. Lanes certain to finish at commit
-        (max_tokens / max_model_len) are excluded; EOS cannot be predicted,
-        so EOS-finished lanes ride along as zombies for one step."""
+        """Dispatch the step AFTER `plan` (still uncommitted): decode
+        continuations, mid-prompt window continuations, and fresh
+        admissions are all value-independent given the in-flight step's
+        device token array (scheduler.schedule_plan_ahead), so the host
+        round-trip (~30 ms on this runtime) overlaps device execution on
+        EVERY step, not just pure-decode runs. Lanes certain to finish at
+        commit (max_tokens / max_model_len) are excluded; EOS cannot be
+        predicted, so EOS-finished lanes ride along as zombies one step."""
         if not self.config.async_decode:
             return None
-        if self.scheduler.num_waiting and \
-                self.scheduler.num_running < self.config.max_num_seqs:
-            # A waiting request could be admitted next step — let the
-            # scheduler run. When every lane is occupied, admission is
-            # impossible anyway, so chaining costs nothing (a lane that
-            # EOS-finishes at commit rides the chained step as a zombie and
-            # admission happens one step later) — without this, a full
-            # backlog (e.g. 256 requests over 128 lanes) disabled chaining
-            # for the whole first half of the run.
+        ahead = self.scheduler.schedule_plan_ahead(plan)
+        if ahead is None:
+            return None  # page pressure (needs preemption) or legacy mode
+        plan2, gather_src = ahead
+        if plan2.is_empty:
             return None
-        for seq, start, span in plan.prefill:
-            if start + span < len(seq):
-                return None  # mid-prompt: next step is a prefill window
-        bm = self.scheduler.block_manager
-        seqs, slots = [], []
-        for slot, seq in enumerate(plan.seqs):
-            if seq.status is not SequenceStatus.RUNNING:
-                continue  # aborted between steps
-            if seq.num_completion_tokens + 1 >= seq.max_tokens:
-                continue  # finishes at commit (length)
-            if len(seq) + 1 >= self.config.max_model_len:
-                continue
-            seqs.append(seq)
-            slots.append(slot)
-        if not seqs:
-            return None
-        if sum(bm.can_reserve_for_chain(s) for s in seqs) > bm.num_free_blocks:
-            return None  # page pressure: let the scheduler preempt instead
-        for seq in seqs:
-            bm.reserve_for_chain(seq)
-        idx = np.zeros(self.config.max_num_seqs, np.int32)
-        idx[: len(slots)] = slots
-        _, tokens = self.model_runner.dispatch_chain(seqs, dev_tokens, idx)
-        return (StepPlan([], seqs, "decode", chained=True), tokens)
+        if not plan2.prefill and gather_src and all(g >= 0 for g in gather_src):
+            # Pure-decode all-virtual: the dedicated chain batch shape.
+            idx = np.zeros(self.config.max_num_seqs, np.int32)
+            idx[: len(gather_src)] = gather_src
+            _, tokens = self.model_runner.dispatch_chain(
+                plan2.decode, dev_tokens, idx)
+            return (StepPlan([], plan2.decode, "decode", chained=True),
+                    tokens)
+        _, tokens = self.model_runner.dispatch_plan_ahead(
+            plan2, gather_src, dev_tokens)
+        return (plan2, tokens)
 
     def _commit(self, plan, dev_tokens):
         """Blocking readback + postprocess of a dispatched step."""

@@ -287,11 +287,20 @@ class ModelRunner:
                    "decode": self._decode_attn,
                    "mixed": self._mixed_attn_fn()}[phase]
         if "prev_tokens" in dev:
-            # Async-decode chain: this step's input tokens are the PREVIOUS
-            # step's samples, still on device — gathered per slot in-jit so
-            # the chain never round-trips tokens through the host.
+            # Async chain: inputs that depend on the in-flight step's samples
+            # are gathered from its device token array. Pure-decode chains
+            # replace ALL inputs; hybrid (mixed/prefill-ahead) chains gather
+            # only the virtual decode rows (gather_idx >= 0) and keep host
+            # ids (prompt tokens) elsewhere.
             dev = dict(dev)
-            dev["input_ids"] = dev.pop("prev_tokens")[dev.pop("gather_idx")]
+            prev = dev.pop("prev_tokens")
+            gidx = dev.pop("gather_idx")
+            if "input_ids" in dev:
+                gathered = prev[jnp.clip(gidx, 0, prev.shape[0] - 1)]
+                dev["input_ids"] = jnp.where(gidx >= 0, gathered,
+                                             dev["input_ids"])
+            else:
+                dev["input_ids"] = prev[gidx]
         # KV-write strategy is static per phase: decode writes one distinct
         # page per live lane (single-pass scale update); prefill's
         # chunk-aligned layout allows whole-chunk dynamic_update_slices
@@ -345,6 +354,32 @@ class ModelRunner:
         if hasattr(self.adapter, "prepare_extras"):
             extras = self.adapter.prepare_extras(plan.seqs, batch)
         return batch, self.dispatch(batch, extras)
+
+    def dispatch_plan_ahead(self, plan, gather_src, prev_tokens):
+        """Dispatch the step AFTER the in-flight one (scheduler.
+        schedule_plan_ahead): window continuations and admissions carry
+        host-known prompt ids; virtual decode lanes gather their input from
+        `prev_tokens` (the in-flight step's device samples) in-jit. When no
+        lane is virtual the batch dispatches through the PLAIN path — same
+        jit signature, no extra compilation."""
+        cfg = self.config
+        batch = prepare_plan(
+            plan,
+            block_size=cfg.kvcache_block_size,
+            dummy_slot=self.dummy_slot,
+            max_num_seqs=cfg.max_num_seqs,
+            blocks_per_seq=cfg.blocks_per_seq,
+            token_buckets=cfg.prefill_token_buckets,
+            chunk=cfg.prefill_chunk,
+            virtual_lanes=gather_src,
+        )
+        extras = None
+        if hasattr(self.adapter, "prepare_extras"):
+            extras = self.adapter.prepare_extras(plan.seqs, batch)
+        if batch.gather_idx is None or not (batch.gather_idx >= 0).any():
+            batch.gather_idx = None  # plain signature
+            return batch, self.dispatch(batch, extras)
+        return batch, self.dispatch(batch, extras, prev_tokens=prev_tokens)
 
     def dispatch_chain(self, seqs, prev_tokens, gather_idx):
         """Async-decode chain step: a pure-decode batch at each sequence's
@@ -405,9 +440,15 @@ class ModelRunner:
         if extras is not None:
             dev["extras"] = {k: put(v) for k, v in extras.items()}
         if prev_tokens is not None:
-            del dev["input_ids"]
-            dev["prev_tokens"] = prev_tokens
-            dev["gather_idx"] = put(gather_idx)
+            if batch.gather_idx is not None:
+                # Hybrid chain (mixed/prefill-ahead): host ids for prompt
+                # rows, device gather for virtual decode rows.
+                dev["prev_tokens"] = prev_tokens
+                dev["gather_idx"] = put(batch.gather_idx)
+            else:
+                del dev["input_ids"]
+                dev["prev_tokens"] = prev_tokens
+                dev["gather_idx"] = put(gather_idx)
         filtered = bool((batch.top_k[: batch.num_seqs] > 0).any()
                         or (batch.top_p[: batch.num_seqs] < 1.0).any())
         if filtered:
@@ -448,8 +489,19 @@ class ModelRunner:
                 if cfg.chunked_prefill:
                     fake = _fake_batch(cfg, self.dummy_slot, bucket,
                                        phase="mixed", filtered=filtered)
-                    self.run_batch(fake)
+                    tok = self.dispatch(fake)
                     n += 1
+                    if cfg.async_decode:
+                        # Hybrid chained-mixed variant: input_ids AND
+                        # prev_tokens + (T,) gather_idx in one pytree.
+                        fake2 = _fake_batch(cfg, self.dummy_slot, bucket,
+                                            phase="mixed", filtered=filtered)
+                        fake2.gather_idx = np.full(
+                            bucket + cfg.max_num_seqs, -1, np.int32)
+                        fake2.gather_idx[bucket] = 0
+                        tok = self.dispatch(fake2, prev_tokens=tok)
+                        n += 1
+                    np.asarray(tok)
             fake = _fake_batch(cfg, self.dummy_slot, cfg.max_num_seqs,
                                phase="decode", filtered=filtered)
             tok = self.dispatch(fake)

@@ -213,6 +213,100 @@ class Scheduler:
             ("decode" if decode else "prefill")
         return StepPlan(prefill, decode, phase)
 
+    def schedule_plan_ahead(self, prev: StepPlan):
+        """Plan the step AFTER `prev` BEFORE prev's sampled tokens reach the
+        host — the generalization of the pure-decode async chain to prefill
+        windows and mixed steps (each non-chained step otherwise idles the
+        device for a full host round-trip, measured ~30 ms on this runtime).
+
+        Everything the next step needs is value-independent except the
+        input token of lanes that EMIT at prev's commit (completed prefills
+        and decode lanes): those become VIRTUAL decode lanes whose input the
+        runner gathers on device from prev's token array. Window
+        continuations use known prompt ids; admissions use known prompts.
+
+        Returns (plan, gather_src) — gather_src[j] is prev's slot index for
+        plan.decode[j] (-1 = host-known input) — or None when the next step
+        would need a preemption (pages freed by a still-in-flight step must
+        not be reallocated; the caller falls back to synchronous
+        scheduling). Mutates real scheduler state exactly like
+        schedule_plan: this plan WILL be dispatched."""
+        if not self.chunked:
+            return None
+        # Virtual emissions at prev's commit (seq -> prev slot index), and
+        # the computed-token counts prev's commit WILL set — read-only
+        # overrides, never mutated into the sequences: prev's postprocess
+        # (assignment for windows, increment for decode lanes) still runs.
+        emit_slot: dict[int, int] = {}
+        adv: dict[int, int] = {}
+        slot = 0
+        for seq, start, span in prev.prefill:
+            adv[id(seq)] = start + span
+            if start + span >= len(seq):
+                emit_slot[id(seq)] = slot
+            slot += 1
+        for seq in prev.decode:
+            adv[id(seq)] = seq.num_computed_tokens + 1
+            emit_slot[id(seq)] = slot
+            slot += 1
+
+        budget = self.prefill_step_tokens
+        used = 0
+        prefill: list = []
+        decode: list = []
+        gather_src: list = []
+
+        for seq in list(self.running):
+            if seq.status is not SequenceStatus.RUNNING:
+                continue
+            if len(prefill) + len(decode) >= self.max_num_seqs:
+                break
+            virt = 1 if id(seq) in emit_slot else 0
+            vlen = len(seq) + virt
+            if virt and (seq.num_completion_tokens + 1 >= seq.max_tokens
+                         or vlen >= self.max_model_len):
+                continue  # finishes at prev's commit
+            comp = adv.get(id(seq), seq.num_computed_tokens)
+            remaining = vlen - comp
+            if remaining == 1:
+                if virt:
+                    if self.block_manager.can_reserve_for_chain(seq) \
+                            > self.block_manager.num_free_blocks:
+                        return None  # page pressure -> sync path (preempt)
+                    self.block_manager.reserve_for_chain(seq)
+                else:
+                    if not self.block_manager.can_append_slot(seq):
+                        return None
+                    self.block_manager.append_slot(seq)
+                decode.append(seq)
+                gather_src.append(emit_slot.get(id(seq), -1))
+            elif remaining > 1 and used < budget:
+                # Mid-prompt window: pages were allocated for the whole
+                # prompt at admission; inputs are known prompt ids.
+                span = min(remaining, budget - used)
+                prefill.append((seq, comp, span))
+                used += align_up(span, self.prefill_chunk)
+
+        while self.waiting and used < budget \
+                and len(prefill) + len(decode) < self.max_num_seqs:
+            seq = self.waiting[0]
+            if not self.block_manager.can_allocate(seq):
+                break
+            self.waiting.popleft()
+            self.block_manager.allocate(seq)
+            seq.num_computed_tokens = seq.num_cached_tokens
+            seq.status = SequenceStatus.RUNNING
+            seq.finish_reason = None
+            self.running.append(seq)
+            remaining = len(seq) - seq.num_computed_tokens
+            span = min(remaining, budget - used)
+            prefill.append((seq, seq.num_computed_tokens, span))
+            used += align_up(span, self.prefill_chunk)
+
+        phase = "mixed" if (prefill and decode) else \
+            ("decode" if decode else "prefill")
+        return StepPlan(prefill, decode, phase, chained=True), gather_src
+
     def postprocess_plan(self, plan: StepPlan, token_ids: list[int]) -> None:
         """Advance computed-token counters; append tokens only for lanes
         that actually emitted one (completed prefills + decodes)."""
@@ -220,6 +314,8 @@ class Scheduler:
         for seq, start, span in plan.prefill:
             token_id = token_ids[slot]
             slot += 1
+            if plan.chained and seq.status is not SequenceStatus.RUNNING:
+                continue  # aborted after the chained dispatch: zombie window
             seq.num_computed_tokens = start + span
             if seq.num_computed_tokens >= len(seq):
                 # Final window reached the last prompt position: the KV row

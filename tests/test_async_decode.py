@@ -136,3 +136,49 @@ def test_chain_prefix_cache_publishes():
     longer = base + first[0]["token_ids"]
     second = eng.generate([longer], sp, use_tqdm=False)
     assert second[0]["cache_tokens"] >= 32
+
+
+def test_window_chaining_matches_sync():
+    """Generalized chaining (schedule_plan_ahead): long prompts forced
+    through multiple chunked-prefill windows while other lanes decode —
+    every step should chain (windows + admissions are value-independent;
+    virtual decode lanes gather on device) and outputs must equal the
+    synchronous path exactly."""
+    rng = np.random.default_rng(7)
+    # long prompts -> several 32-token windows each; staggered lengths so
+    # mixed steps carry windows AND virtual decode lanes simultaneously.
+    ps = [list(rng.integers(1, 127, size=n)) for n in (90, 70, 12, 45)]
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    kw = dict(chunked_prefill=True, prefill_step_tokens=32)
+    sync, chained = both(ps, sp, **kw)
+    for s, c in zip(sync, chained):
+        assert s["token_ids"] == c["token_ids"]
+        assert len(c["token_ids"]) == 16
+
+
+def test_window_chaining_sampled_matches():
+    """Same but with temperature sampling: the counter-derived PRNG key
+    makes sampled runs reproducible only if the chained schedule issues the
+    SAME step sequence as... it does not (chaining changes step boundaries),
+    so instead assert the run completes with the right shape and respects
+    max_tokens under continuous admission pressure (more prompts than
+    lanes)."""
+    rng = np.random.default_rng(8)
+    ps = prompts(rng, 10, lo=20, hi=60)  # 10 prompts over 4 lanes
+    sp = SamplingParams(temperature=0.8, max_tokens=10, ignore_eos=True)
+    out = make_llm(True, chunked_prefill=True,
+                   prefill_step_tokens=32).generate(ps, sp, use_tqdm=False)
+    assert len(out) == 10
+    assert all(len(o["token_ids"]) == 10 for o in out)
+
+
+def test_window_chaining_with_eos():
+    """EOS zombies inside chained mixed steps: lanes finishing by EOS at a
+    commit must not corrupt later chained windows/decodes."""
+    rng = np.random.default_rng(9)
+    ps = [list(rng.integers(1, 127, size=n)) for n in (50, 33, 8)]
+    sp = SamplingParams(temperature=0.0, max_tokens=24)  # honor EOS
+    kw = dict(chunked_prefill=True, prefill_step_tokens=32)
+    sync, chained = both(ps, sp, **kw)
+    for s, c in zip(sync, chained):
+        assert s["token_ids"] == c["token_ids"]
