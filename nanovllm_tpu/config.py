@@ -86,10 +86,11 @@ class Config:
         if "VL" in arch or hasattr(self.hf_config, "vision_config"):
             self.is_multimodal = True
         if self.is_multimodal:
-            self.chunked_prefill = False  # vision-slice streaming needs
-            # whole-suffix prefill windows (adapter prepare_extras contract)
-            self.async_decode = False  # VL decode extras (mrope offsets)
-            # depend on per-seq state the chain batch cannot precompute
+            # Chunked prefill works for VL: prepare_extras streams vision
+            # slices per window (intersection with placeholder ranges). The
+            # async chain stays off — decode extras (mrope offsets) depend
+            # on per-seq state the chain batch cannot precompute.
+            self.async_decode = False
         # The budget must cover one max-length prompt after chunk alignment.
         aligned_max = -(-self.max_model_len // self.prefill_chunk) * self.prefill_chunk
         self.max_num_batched_tokens = max(self.max_num_batched_tokens, aligned_max)

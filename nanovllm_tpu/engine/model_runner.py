@@ -375,7 +375,8 @@ class ModelRunner:
         )
         extras = None
         if hasattr(self.adapter, "prepare_extras"):
-            extras = self.adapter.prepare_extras(plan.seqs, batch)
+            extras = self.adapter.prepare_extras(plan.seqs, batch,
+                                                 n_prefill=len(plan.prefill))
         if batch.gather_idx is None or not (batch.gather_idx >= 0).any():
             batch.gather_idx = None  # plain signature
             return batch, self.dispatch(batch, extras)

@@ -306,7 +306,14 @@ class VLAdapter:
         seq.cached_vision_tokens = vts
         seq.cached_deepstack_tokens = dss
 
-    def prepare_extras(self, seqs, batch):
+    def prepare_extras(self, seqs, batch, n_prefill=None):
+        """Multimodal step extras. Slots [0, n_prefill) are prefill windows
+        (whole suffixes or chunked-prefill windows — bounds read from the
+        batch itself: start = positions[t0], end = start + window span), the
+        rest are decode lanes. Vision-token slices intersect each window
+        with the placeholder ranges, so chunked prefill streams image
+        embeddings window-by-window (the reference's vision-slice streaming,
+        model_runner.py:454-495, generalized to interleaved windows)."""
         import numpy as np
 
         T = len(batch.input_ids)
@@ -318,20 +325,23 @@ class VLAdapter:
         ds = np.zeros((n_ds, T, D), np.float32)
         pos3 = np.zeros((3, T), np.int32)
         if seqs is not None:
+            if n_prefill is None:
+                n_prefill = len(seqs) if batch.is_prefill else 0
             for i, seq in enumerate(seqs):
                 t0 = batch.seq_token_offsets[i]
-                if batch.is_prefill:
-                    start = seq.num_cached_tokens
-                    span = len(seq) - start
+                if i < n_prefill:
+                    start = int(batch.positions[t0])
+                    span = int(batch.last_token_idx[i]) - t0 + 1
+                    end = start + span
                     pos_all = self._seq_mrope(seq)
-                    pos3[:, t0: t0 + span] = pos_all[:, start: len(seq)]
+                    pos3[:, t0: t0 + span] = pos_all[:, start: end]
                     self._ensure_vision(seq)
                     for (p_start, p_len), vt, dsx in zip(
                             seq.vision_placeholders,
                             seq.cached_vision_tokens or [],
                             seq.cached_deepstack_tokens or []):
                         a = max(p_start, start)
-                        b = min(p_start + p_len, len(seq))
+                        b = min(p_start + p_len, end)
                         if a >= b:
                             continue
                         r0 = t0 + (a - start)

@@ -54,7 +54,10 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
                    *refs,
                    bs: int, row_dim: int, group: int, scale: float,
                    quantized: bool, pages_per_iter: int = PAGES_PER_ITER,
-                   n_buf: int = N_BUF):
+                   n_buf: int = N_BUF, q_int8: bool = False):
+    if q_int8:
+        qs_ref = refs[0]
+        refs = refs[1:]
     if quantized:
         kv_hbm, sc_hbm, out_ref, kv_buf, sc_buf, sems = refs
     else:
@@ -122,11 +125,21 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         page_dmas(it, slot, False)
 
         k_flat = kv_buf[slot, :, :bs].reshape(rows, row_dim)
-        if quantized:
-            k_flat = k_flat.astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            q_bd, k_flat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale    # (QH, P*bs)
+        if quantized and q_int8:
+            # Native int8 x int8 MXU dot (2x bf16 throughput, no VPU cast of
+            # the K page): exact given the int8 operands; the real q values
+            # are q_i8 * q_scale (per query head, applied below) and k_i8 *
+            # k_scale (per token per kv head, scale_mat as usual).
+            s = jax.lax.dot_general(
+                q_bd, k_flat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            s = s * (qs_ref[0][:, :1] * scale)
+        else:
+            if quantized:
+                k_flat = k_flat.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q_bd, k_flat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (QH, P*bs)
         if quantized:
             s = s * scale_mat(slot, 0)
         rem = ctx - it * rows
@@ -164,13 +177,17 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
 
 @functools.lru_cache(maxsize=64)
 def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
-                  interpret, pages_per_iter=PAGES_PER_ITER, n_buf=N_BUF):
+                  interpret, pages_per_iter=PAGES_PER_ITER, n_buf=N_BUF,
+                  q_int8=False):
     kvh = row_dim // hd
     in_specs = [
         pl.BlockSpec((1, QH, row_dim), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
     ]
+    if q_int8:
+        in_specs.append(pl.BlockSpec((1, QH, 128), lambda i, *_: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch = [
         pltpu.VMEM((n_buf, pages_per_iter, 2 * bs, row_dim),
                    jnp.int8 if quantized else dtype),
@@ -194,7 +211,8 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
     return pl.pallas_call(
         functools.partial(_decode_kernel, bs=bs, row_dim=row_dim, group=group,
                           scale=scale, quantized=quantized,
-                          pages_per_iter=pages_per_iter, n_buf=n_buf),
+                          pages_per_iter=pages_per_iter, n_buf=n_buf,
+                          q_int8=q_int8),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, QH, row_dim), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -206,7 +224,7 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
 def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                            layer, *, scale: float, interpret: bool = False,
                            pages_per_iter: int = PAGES_PER_ITER,
-                           n_buf: int = N_BUF):
+                           n_buf: int = N_BUF, q_int8: bool = False):
     """q: (S, QH, hd); cache values (L, NB, 2*bs, KVH*hd); layer: () int32.
     Returns (S, QH, hd). Slots with context_len == 0 yield zeros.
 
@@ -230,12 +248,26 @@ def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                      jnp.zeros((), q.dtype)).reshape(S, QH, row_dim)
     out_dtype = jnp.dtype(jnp.bfloat16) if cache.quantized else jnp.dtype(q.dtype)
 
+    q_int8 = bool(q_int8 and cache.quantized)
     kernel = _build_kernel(S, QH, hd, bs, row_dim, group, out_dtype,
                            float(scale), cache.quantized, interpret,
-                           pages_per_iter, n_buf)
+                           pages_per_iter, n_buf, q_int8)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
-    args = [layer, block_tables, context_lens, q_bd.astype(out_dtype),
-            cache.kv]
+    if q_int8:
+        # Per-row symmetric int8 quantization of the block-diagonal query
+        # (zeros stay exactly zero); scale replicated over 128 lanes for a
+        # clean VMEM block.
+        qf = q_bd.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(qf), axis=-1)               # (S, QH)
+        qsc = jnp.maximum(amax, 1e-8) / 127.0
+        q_i8 = jnp.clip(jnp.round(qf / qsc[..., None]), -127, 127
+                        ).astype(jnp.int8)
+        qs_block = jnp.broadcast_to(qsc[..., None], (S, QH, 128)
+                                    ).astype(jnp.float32)
+        args = [layer, block_tables, context_lens, q_i8, qs_block, cache.kv]
+    else:
+        args = [layer, block_tables, context_lens, q_bd.astype(out_dtype),
+                cache.kv]
     if cache.quantized:
         args.append(cache.scale)
     out_flat = kernel(*args)

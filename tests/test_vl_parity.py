@@ -178,3 +178,49 @@ def test_engine_multimodal_e2e():
           "image_grid_thw": [GRID]}],
         SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True))
     assert out[0]["token_ids"] == hf_tokens
+
+
+def test_engine_multimodal_chunked_windows():
+    """Chunked prefill over a multimodal prompt: force multiple 16-token
+    windows so the vision placeholder run is split across windows (the
+    vision-slice streaming path in VLAdapter.prepare_extras) — greedy
+    outputs must match HF exactly, and match the unchunked engine."""
+    import torch
+
+    from nanovllm_tpu import LLM, SamplingParams
+    from nanovllm_tpu.utils.loader import load_vl_params
+
+    cfg, model = make_tiny_vl()
+    rng = np.random.default_rng(5)
+    pixels = rng.standard_normal((np.prod(GRID), PATCH_DIM)).astype(np.float32)
+    # long prompt: text, a 4-token image straddling a window boundary, text
+    ids = ([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+           + [157] + [IMG_TOKEN] * 4 + [158]
+           + list(range(20, 50)))
+
+    with torch.no_grad():
+        hf_out = model.generate(
+            input_ids=torch.tensor([ids]), pixel_values=torch.tensor(pixels),
+            image_grid_thw=torch.tensor([list(GRID)]), max_new_tokens=3,
+            do_sample=False)
+    hf_tokens = hf_out[0, len(ids):].tolist()
+
+    def run(step_tokens):
+        llm = LLM(cfg, max_num_seqs=4, max_model_len=128,
+                  kvcache_block_size=16, num_kvcache_blocks=64,
+                  prefill_token_buckets=(16, 32, 64, 128), prefill_chunk=16,
+                  prefill_step_tokens=step_tokens, dtype="float32",
+                  attention_backend="jnp", warmup=False)
+        assert llm.config.chunked_prefill  # VL no longer disables it
+        llm.model_runner.params = load_vl_params(
+            llm.model_runner.adapter.spec, model.state_dict(),
+            dtype=jnp.float32)
+        llm.model_runner.adapter.params = llm.model_runner.params
+        out = llm.generate_multimodal(
+            [{"input_ids": ids, "pixel_values": pixels,
+              "image_grid_thw": [GRID]}],
+            SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True))
+        return out[0]["token_ids"]
+
+    assert run(16) == hf_tokens      # 4 windows: image split across windows
+    assert run(2048) == hf_tokens    # single window (control)
