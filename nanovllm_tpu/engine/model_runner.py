@@ -78,10 +78,16 @@ class ModelRunner:
         t0 = time.perf_counter()
         self.params = self.adapter.load_params(
             config.model_path, self.dtype, jax.random.key(config.seed))
-        if config.quantization == "int8":
+        if config.quantization in ("int8", "int4"):
             from nanovllm_tpu.ops.quant import quantize_dense_params
 
-            self.params = quantize_dense_params(self.params)
+            if config.quantization == "int4" and tp > 1:
+                # Row-parallel sharding splits PACKED int4 rows, which does
+                # not correspond to a contiguous logical input block.
+                raise ValueError("int4 weights are single-chip only for now "
+                                 "(use quantization='int8' with TP)")
+            self.params = quantize_dense_params(
+                self.params, bits=4 if config.quantization == "int4" else 8)
         elif config.quantization:
             raise ValueError(f"unknown quantization {config.quantization!r}")
         self.params = jax.block_until_ready(self.params)

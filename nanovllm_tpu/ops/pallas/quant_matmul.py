@@ -70,6 +70,92 @@ def _build(T, K, N, bk, bn, x_dtype, out_dtype, interpret):
     )
 
 
+def _qmm4_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, out_ref, acc_ref,
+                 *, n_k: int, g: int):
+    """Packed-int4 matmul tile: w_ref (bk, bn) bytes hold logical input rows
+    [k*bk, (k+1)*bk) in the LOW nibbles (matching xlo) and rows
+    [K/2 + k*bk, ...) in the HIGH nibbles (matching xhi); per-group scales
+    are applied to the unpacked bf16 rows before each group's dot."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...].astype(jnp.int32)
+    lo = ((w << 28) >> 28).astype(jnp.float32)          # sign-extended nibble
+    hi = ((w << 24) >> 28).astype(jnp.float32)
+    bk = w.shape[0]
+    for gi in range(max(bk // g, 1)):
+        rows = slice(gi * g, (gi + 1) * g)
+        wl = (lo[rows] * slo_ref[gi: gi + 1, :]).astype(xlo_ref.dtype)
+        wh = (hi[rows] * shi_ref[gi: gi + 1, :]).astype(xhi_ref.dtype)
+        acc_ref[...] += jax.lax.dot(
+            xlo_ref[:, rows], wl, preferred_element_type=jnp.float32)
+        acc_ref[...] += jax.lax.dot(
+            xhi_ref[:, rows], wh, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=128)
+def _build4(T, K2, N, G, bk, bn, g, x_dtype, interpret):
+    n_k = K2 // bk
+    gpb = max(bk // g, 1)
+    return pl.pallas_call(
+        functools.partial(_qmm4_kernel, n_k=n_k, g=g),
+        grid=(N // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((T, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda n, k: ((G // 2) // gpb + k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, bn), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N), x_dtype),
+        scratch_shapes=[pltpu.VMEM((T, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )
+
+
+def int4_matmul(x, w, scale, *, interpret: bool = False):
+    """y = x @ dequant(w): w (K/2, N) packed int4, scale (K/g, N) f32.
+
+    Grid (N/bn, K2/bk): each w tile unpacks both nibble halves in VMEM and
+    contracts them against the matching x column blocks (the halves map to
+    logical rows [k*bk,(k+1)*bk) and [K/2 + k*bk, ...)). Falls back to the
+    XLA unpack path when the shapes don't tile."""
+    T, K = x.shape
+    K2, N = w.shape
+    assert K == 2 * K2, (K, K2)
+    G = scale.shape[0]          # number of groups over K
+    g = K // G
+    bk = _pick_tile(K2, (512, 256, 128))
+    bn = _pick_tile(N, (512, 256, 128))
+    ok = (bk and bn and T % 8 == 0 and g <= bk and bk % g == 0
+          and (K // 2) % g == 0)
+    if not ok:
+        from nanovllm_tpu.ops.quant import unpack_int4
+
+        wf = unpack_int4(w, scale)
+        return jnp.dot(x, wf.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    kernel = _build4(T, K2, N, G, bk, bn, g, jnp.dtype(x.dtype).name,
+                     interpret)
+    # x viewed as lo/hi halves stacked on the K axis: pass x once, the two
+    # BlockSpecs index the halves (hi blocks start at n_k).
+    return kernel(x[:, : K // 2], x[:, K // 2:], w, scale, scale)
+
+
 def int8_matmul(x, w, scale, *, interpret: bool = False):
     """y[t, n] = (sum_k x[t, k] * w[k, n]) * scale[n].
 

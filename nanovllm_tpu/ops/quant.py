@@ -1,14 +1,20 @@
-"""Weight-only INT8 quantization.
+"""Weight-only INT8 / INT4 quantization.
 
 The reference has no quantization at all; this implements the build-side
-north-star feature (BASELINE.json): per-output-channel symmetric INT8 for
-every large matmul weight, with dequantization fused into the matmul
-epilogue — XLA reads the int8 weight from HBM, converts in VMEM, and applies
-the channel scale to the product, so weight HBM traffic halves vs bf16.
+north-star features (BASELINE.json):
+  * INT8: per-output-channel symmetric, dequant fused into the matmul
+    epilogue (Pallas kernel on TPU) — weight HBM traffic halves vs bf16.
+  * INT4: group-wise symmetric (group size 128 along the input axis, the
+    GPTQ/AWQ convention — per-channel int4 is far too coarse), two values
+    packed per int8 byte with the LOGICAL HALVES split (low nibble = input
+    row k, high nibble = input row K/2 + k) so unpacking never interleaves
+    rows — weight HBM traffic quarters.
 
-Param convention: a quantized weight `w` (.., in, out) int8 is accompanied by
-`w_scale` (.., out) float32 in the same params dict. Model code detects
-quantization by the presence of the scale entry (a static pytree property).
+Param convention: a quantized weight `w` (.., in, out) is accompanied by
+`w_scale` in the same params dict — (.., out) f32 for int8;
+(.., in/group, out) f32 for int4 (detected by ndim, and the int4 value
+tensor has in/2 packed rows). Model code detects quantization by the
+presence of the scale entry (a static pytree property).
 """
 
 from __future__ import annotations
@@ -17,6 +23,44 @@ import jax.numpy as jnp
 
 # weights quantized per layer-stack (name -> present in params["layers"])
 LAYER_WEIGHTS = ("wqkv", "wo", "wgu", "wdown")
+
+INT4_GROUP = 128
+
+
+def quantize_weight_int4(w, group: int = INT4_GROUP, eps: float = 1e-8):
+    """w: (..., K, N) -> (packed int8 (..., K/2, N), scales (..., K/g, N)).
+
+    Symmetric group-wise int4 in [-7, 7]; byte b at packed row k holds
+    logical row k in its LOW nibble and logical row K/2 + k in its HIGH
+    nibble (two's complement)."""
+    wf = w.astype(jnp.float32)
+    K = wf.shape[-2]
+    assert K % 2 == 0, K
+    while K % (2 * group):
+        group //= 2  # tiny test models: shrink the group to fit
+    assert group >= 1
+    grouped = wf.reshape(*wf.shape[:-2], K // group, group, wf.shape[-1])
+    amax = jnp.max(jnp.abs(grouped), axis=-2)
+    scale = jnp.maximum(amax, eps) / 7.0                # (..., K/g, N)
+    q = jnp.clip(jnp.round(grouped / scale[..., None, :]), -7, 7)
+    q = q.reshape(wf.shape).astype(jnp.int8)            # (..., K, N)
+    lo = q[..., : K // 2, :]
+    hi = q[..., K // 2:, :]
+    packed = (lo & 0x0F) | ((hi & 0x0F) << 4)
+    return packed.astype(jnp.int8), scale
+
+
+def unpack_int4(packed, scale):
+    """Inverse of quantize_weight_int4 -> float32 (..., K, N); the group
+    size is derived from the shapes (K / num_groups)."""
+    p = packed.astype(jnp.int32)
+    lo = (p << 28) >> 28                                # sign-extend nibble
+    hi = (p << 24) >> 28
+    q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    K = q.shape[-2]
+    group = K // scale.shape[-2]
+    grouped = q.reshape(*q.shape[:-2], K // group, group, q.shape[-1])
+    return (grouped * scale[..., None, :]).reshape(q.shape)
 
 
 def quantize_weight(w, axis: int = -2, eps: float = 1e-8):
@@ -29,37 +73,50 @@ def quantize_weight(w, axis: int = -2, eps: float = 1e-8):
 
 
 def quant_matmul(x, w, scale=None):
-    """y = x @ w with a fused int8 dequant epilogue.
+    """y = x @ w with a fused dequant epilogue (int8 or packed int4).
 
-    On TPU the int8 path is a Pallas kernel that converts weight tiles
-    int8->bf16 in VMEM (ops/pallas/quant_matmul.py) — the weight's HBM
-    traffic actually halves. Elsewhere (CPU tests) it falls back to an XLA
-    dequant-then-dot, which is numerically identical."""
+    int4 is detected by the scale rank: per-group scales are (.., K/g, N)
+    (2-D for an unstacked weight) vs int8's per-channel (.., N). On TPU
+    both paths are Pallas kernels that convert weight tiles in VMEM
+    (ops/pallas/quant_matmul.py) — weight HBM traffic halves (int8) or
+    quarters (int4). Elsewhere (CPU tests) they fall back to XLA
+    dequant-then-dot, numerically identical."""
     if scale is None:
         return x @ w
     import jax
 
+    int4 = scale.ndim == w.ndim  # group axis present
     if jax.default_backend() == "tpu" and x.ndim == 2:
-        from nanovllm_tpu.ops.pallas.quant_matmul import int8_matmul
+        from nanovllm_tpu.ops.pallas.quant_matmul import (int4_matmul,
+                                                          int8_matmul)
 
+        if int4:
+            return int4_matmul(x, w, scale)
         return int8_matmul(x, w, scale)
+    if int4:
+        wf = unpack_int4(w, scale)
+        return jnp.dot(x, wf.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
     y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     return (y * scale).astype(x.dtype)
 
 
-def quantize_dense_params(params: dict, quantize_lm_head: bool = True) -> dict:
+def quantize_dense_params(params: dict, quantize_lm_head: bool = True,
+                          bits: int = 8) -> dict:
     """Quantize the big matmul weights of a dense params pytree in place
-    (returns a new dict; embed and norms stay high-precision)."""
+    (returns a new dict; embed and norms stay high-precision). bits: 8
+    (per-channel) or 4 (group-wise, packed)."""
+    qfn = quantize_weight if bits == 8 else quantize_weight_int4
     out = dict(params)
     layers = dict(params["layers"])
     for name in LAYER_WEIGHTS:
         if name in layers and layers[name].dtype != jnp.int8:
-            q, s = quantize_weight(layers[name])
+            q, s = qfn(layers[name])
             layers[name] = q
             layers[name + "_scale"] = s
     out["layers"] = layers
     if quantize_lm_head and "lm_head" in out and out["lm_head"].dtype != jnp.int8:
-        q, s = quantize_weight(out["lm_head"])
+        q, s = qfn(out["lm_head"])
         out["lm_head"] = q
         out["lm_head_scale"] = s
     return out

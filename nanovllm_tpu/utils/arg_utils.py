@@ -37,7 +37,7 @@ class EngineArgs:
                             default=EngineArgs.kv_cache_dtype,
                             choices=["auto", "bfloat16", "float32", "int8"])
         parser.add_argument("--quantization", type=str, default=None,
-                            choices=["int8"])
+                            choices=["int8", "int4"])
         parser.add_argument("--tensor-parallel-size", "-tp", type=int,
                             default=EngineArgs.tensor_parallel_size)
         parser.add_argument("--kvcache-block-size", type=int,

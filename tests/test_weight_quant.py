@@ -77,3 +77,72 @@ def test_pallas_int8_matmul_matches_xla_path():
     ref = np.asarray(quant_matmul(x, q, s))
     got = np.asarray(int8_matmul(x, q, s, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_pack_roundtrip_and_matmul():
+    from nanovllm_tpu.ops.quant import quantize_weight_int4, unpack_int4
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((512, 256), dtype=np.float32)) * 0.05
+    packed, scale = quantize_weight_int4(w)
+    assert packed.shape == (256, 256) and packed.dtype == jnp.int8
+    assert scale.shape == (512 // 128, 256)
+    wf = np.asarray(unpack_int4(packed, scale))
+    # group-wise int4: max error is half a quantization step per element
+    step = np.asarray(scale).repeat(128, axis=0)
+    assert np.abs(wf - np.asarray(w)).max() <= (step / 2 + 1e-6).max()
+
+    x = jnp.asarray(rng.standard_normal((8, 512), dtype=np.float32))
+    ref = np.asarray(x @ w)
+    got = np.asarray(quant_matmul(x, packed, scale))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    # intrinsic int4 noise on gaussian weights (~4 bits of mantissa); the
+    # EXACT kernel-vs-dequant equivalence is pinned by the pallas test below
+    assert rel < 0.2, rel
+
+
+def test_pallas_int4_matmul_matches_xla_path():
+    from nanovllm_tpu.ops.pallas.quant_matmul import int4_matmul
+    from nanovllm_tpu.ops.quant import quantize_weight_int4, unpack_int4
+
+    rng = np.random.default_rng(3)
+    T, K, N = 16, 1024, 512
+    x = jnp.asarray(rng.standard_normal((T, K), dtype=np.float32)
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N), dtype=np.float32)) * 0.05
+    packed, scale = quantize_weight_int4(w)
+    ref = np.asarray(
+        jnp.dot(x, unpack_int4(packed, scale).astype(x.dtype),
+                preferred_element_type=jnp.float32), np.float32)
+    got = np.asarray(int4_matmul(x, packed, scale, interpret=True), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_engine_e2e_int4_weights():
+    from transformers import Qwen3Config
+
+    from nanovllm_tpu import LLM, SamplingParams
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256,
+        architectures=["Qwen3ForCausalLM"])
+    kw = dict(max_num_seqs=2, max_model_len=64, kvcache_block_size=16,
+              num_kvcache_blocks=16, prefill_token_buckets=(64,),
+              dtype="float32", attention_backend="jnp", warmup=False)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    llm = LLM(cfg, quantization="int4", **kw)
+    layers = llm.model_runner.params["layers"]
+    # weights really are packed: wqkv (L, K/2, N) int8 + (L, K/g, N) scales
+    assert layers["wqkv"].dtype == jnp.int8
+    assert layers["wqkv"].shape[1] == 32  # hidden 64 -> 32 packed rows
+    assert layers["wqkv_scale"].ndim == 3
+    out1 = llm.generate([[1, 2, 3]], sp, use_tqdm=False)
+    out2 = llm.generate([[7, 8]], sp, use_tqdm=False)
+    assert len(out1[0]["token_ids"]) == 8 and len(out2[0]["token_ids"]) == 8
+    # deterministic under greedy
+    again = llm.generate([[1, 2, 3]], sp, use_tqdm=False)
+    assert again[0]["token_ids"] == out1[0]["token_ids"]
+    # accuracy on a REAL-scale weight distribution is covered by the
+    # perplexity harness (tools/perplexity.py --bits 4)

@@ -68,10 +68,11 @@ def run_variant(config_obj, variant, streams, args):
     adapter = get_adapter(cfg)
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     params = adapter.load_params(cfg.model_path, dtype, jax.random.key(0))
-    if variant == "int8_weights":
+    if variant in ("int8_weights", "int4_weights"):
         from nanovllm_tpu.ops.quant import quantize_dense_params
 
-        params = quantize_dense_params(params)
+        params = quantize_dense_params(
+            params, bits=4 if variant == "int4_weights" else 8)
     npages = -(-args.seq_len // args.block_size)
     cache = KVCache.zeros(adapter.num_layers, npages + 1, args.block_size,
                           adapter.num_kv_heads, adapter.head_dim,
@@ -90,7 +91,8 @@ def main():
     p.add_argument("--n-seqs", type=int, default=4)
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--f32", action="store_true", help="f32 compute (CPU parity runs)")
-    p.add_argument("--variants", default="bf16,int8_kv,int8_weights")
+    p.add_argument("--variants",
+               default="bf16,int8_kv,int8_weights,int4_weights")
     args = p.parse_args()
 
     if args.model:
