@@ -70,12 +70,14 @@ def _build(T, K, N, bk, bn, x_dtype, out_dtype, interpret):
     )
 
 
-def _qmm4_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, out_ref, acc_ref,
-                 *, n_k: int, g: int):
+def _qmm4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, out_ref, acc_ref,
+                 *, n_k: int, g: int, n_groups: int):
     """Packed-int4 matmul tile: w_ref (bk, bn) bytes hold logical input rows
     [k*bk, (k+1)*bk) in the LOW nibbles (matching xlo) and rows
-    [K/2 + k*bk, ...) in the HIGH nibbles (matching xhi); per-group scales
-    are applied to the unpacked bf16 rows before each group's dot."""
+    [K/2 + k*bk, ...) in the HIGH nibbles (matching xhi). s_ref carries ALL
+    (n_groups, bn) per-group scales for this n-tile (a handful of rows —
+    blocking them would violate the 8-sublane rule), sliced dynamically:
+    lo rows use group k*gpb + gi, hi rows group n_groups/2 + k*gpb + gi."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -86,10 +88,13 @@ def _qmm4_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, out_ref, acc_ref,
     lo = ((w << 28) >> 28).astype(jnp.float32)          # sign-extended nibble
     hi = ((w << 24) >> 28).astype(jnp.float32)
     bk = w.shape[0]
-    for gi in range(max(bk // g, 1)):
+    gpb = max(bk // g, 1)
+    for gi in range(gpb):
         rows = slice(gi * g, (gi + 1) * g)
-        wl = (lo[rows] * slo_ref[gi: gi + 1, :]).astype(xlo_ref.dtype)
-        wh = (hi[rows] * shi_ref[gi: gi + 1, :]).astype(xhi_ref.dtype)
+        slo = s_ref[pl.ds(k * gpb + gi, 1), :]
+        shi = s_ref[pl.ds(n_groups // 2 + k * gpb + gi, 1), :]
+        wl = (lo[rows] * slo).astype(xlo_ref.dtype)
+        wh = (hi[rows] * shi).astype(xhi_ref.dtype)
         acc_ref[...] += jax.lax.dot(
             xlo_ref[:, rows], wl, preferred_element_type=jnp.float32)
         acc_ref[...] += jax.lax.dot(
@@ -103,18 +108,15 @@ def _qmm4_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, out_ref, acc_ref,
 @functools.lru_cache(maxsize=128)
 def _build4(T, K2, N, G, bk, bn, g, x_dtype, interpret):
     n_k = K2 // bk
-    gpb = max(bk // g, 1)
     return pl.pallas_call(
-        functools.partial(_qmm4_kernel, n_k=n_k, g=g),
+        functools.partial(_qmm4_kernel, n_k=n_k, g=g, n_groups=G),
         grid=(N // bn, n_k),
         in_specs=[
             pl.BlockSpec((T, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpb, bn), lambda n, k: (k, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpb, bn), lambda n, k: ((G // 2) // gpb + k, n),
+            pl.BlockSpec((G, bn), lambda n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((T, bn), lambda n, k: (0, n),
@@ -151,9 +153,8 @@ def int4_matmul(x, w, scale, *, interpret: bool = False):
                        preferred_element_type=jnp.float32).astype(x.dtype)
     kernel = _build4(T, K2, N, G, bk, bn, g, jnp.dtype(x.dtype).name,
                      interpret)
-    # x viewed as lo/hi halves stacked on the K axis: pass x once, the two
-    # BlockSpecs index the halves (hi blocks start at n_k).
-    return kernel(x[:, : K // 2], x[:, K // 2:], w, scale, scale)
+    # x split into the lo/hi column halves matching the nibble packing.
+    return kernel(x[:, : K // 2], x[:, K // 2:], w, scale)
 
 
 def int8_matmul(x, w, scale, *, interpret: bool = False):
