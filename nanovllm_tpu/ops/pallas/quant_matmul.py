@@ -143,8 +143,23 @@ def int4_matmul(x, w, scale, *, interpret: bool = False):
     g = K // G
     bk = _pick_tile(K2, (512, 256, 128))
     bn = _pick_tile(N, (512, 256, 128))
+    # VMEM budget: two x blocks + w + scales are double-buffered by the grid
+    # pipeline; the f32 accumulator and the out block are resident. Shrink
+    # tiles until the estimate fits the ~16M scoped limit with headroom.
+    def vmem(bk_, bn_):
+        return (2 * (2 * T * bk_ * x.dtype.itemsize + bk_ * bn_
+                     + G * bn_ * 4)
+                + T * bn_ * 4 + T * bn_ * x.dtype.itemsize)
+
+    while bk and bn and vmem(bk, bn) > 12 * 2**20:
+        if bk >= bn and bk > 128 and (bk // 2) % max(g, 1) == 0:
+            bk //= 2
+        elif bn > 128:
+            bn //= 2
+        else:
+            break
     ok = (bk and bn and T % 8 == 0 and g <= bk and bk % g == 0
-          and (K // 2) % g == 0)
+          and (K // 2) % g == 0 and vmem(bk, bn) <= 14 * 2**20)
     if not ok:
         from nanovllm_tpu.ops.quant import unpack_int4
 
