@@ -30,12 +30,12 @@ def main():
     parser.add_argument("--num-seqs", type=int, default=256)
     parser.add_argument("--max-input-len", type=int, default=1024)
     parser.add_argument("--max-output-len", type=int, default=1024)
-    parser.add_argument("--max-num-seqs", type=int, default=160)
+    parser.add_argument("--max-num-seqs", type=int, default=192)
     parser.add_argument("--max-model-len", type=int, default=2048)
     parser.add_argument("--max-num-batched-tokens", type=int, default=4096)
     parser.add_argument("--block-size", type=int, default=256)
     parser.add_argument("--kv-cache-dtype", default="int8")
-    parser.add_argument("--quantization", default=None)
+    parser.add_argument("--quantization", default="int8")
     parser.add_argument("--attention-backend", default="auto")
     parser.add_argument("--smoke", action="store_true", help="tiny quick run")
     parser.add_argument("--phase-stats", action="store_true",
