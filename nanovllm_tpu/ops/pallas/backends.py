@@ -15,6 +15,16 @@ from nanovllm_tpu.ops.pallas.prefill_attention import ragged_prefill_attention
 
 
 def get_attention_fns(config):
+    hf = config.text_config
+    kvh = getattr(hf, "num_key_value_heads", None) or hf.num_attention_heads
+    hd = getattr(hf, "head_dim", None) or hf.hidden_size // hf.num_attention_heads
+    if (kvh * hd) % 128:
+        # Mosaic requires lane-tile-aligned KV page rows; sub-128 rows only
+        # occur on toy test models — fall back to the jnp backend (the
+        # runner catches ImportError and logs it).
+        raise ImportError(
+            f"pallas kernels need kv_heads*head_dim % 128 == 0 "
+            f"(got {kvh}*{hd})")
     cq = config.prefill_chunk
     paged_decode_attention = (
         _decode_v4 if os.environ.get("NANOVLLM_DECODE_KERNEL") == "v4"

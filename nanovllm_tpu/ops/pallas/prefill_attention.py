@@ -67,8 +67,13 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
     # pos0 + (r % cq): the G query heads of one kv head are stacked on the
     # sublane axis so the MXU sees one (G*CQ, hd) x (hd, bs) dot per kv head
     # instead of G separate (CQ, hd) dots — half the loop iterations and
-    # twice the tile height at GQA group 2.
-    gq = group * cq
+    # twice the tile height at GQA group 2. Mosaic cannot lower the stacked
+    # form's sliced output store for sub-lane-tile head dims (hd % 128 != 0:
+    # "unsupported shape cast"), so tiny-model shapes keep G = 1 groups of
+    # the per-head layout (eff_group below; identical math).
+    eff_group = group if hd % 128 == 0 else 1
+    n_tiles = kvh * (group // eff_group)
+    gq = eff_group * cq
     row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (gq, 1), 0) % cq
 
     def body(j, carry):
@@ -84,9 +89,12 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
         kv_pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         live = (kv_pos <= row_pos) & (kv_pos < ctx)       # (G*CQ, bs)
         ms2, ls2, accs2 = [], [], []
-        for h in range(kvh):
+        for t in range(n_tiles):
+            h = t // (group // eff_group)
+            g0 = (t % (group // eff_group)) * eff_group
             q_h = jnp.concatenate(
-                [q_ref[:, h * group + g, :] for g in range(group)], axis=0)
+                [q_ref[:, h * group + g0 + g, :] for g in range(eff_group)],
+                axis=0)
             k_h = kv_buf[slot, :bs, h * hd:(h + 1) * hd]  # (bs, hd) col slice
             v_h = kv_buf[slot, bs:, h * hd:(h + 1) * hd]
             if quantized:
@@ -98,32 +106,41 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
             if quantized:
                 s = s * sc_buf[slot, h:h + 1, :]              # (1, bs) bcast
             s = jnp.where(live, s, NEG_INF)
-            m_new = jnp.maximum(ms[h], jnp.max(s, axis=-1, keepdims=True))
+            m_new = jnp.maximum(ms[t], jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             p = jnp.where(live, p, 0.0)
-            corr = jnp.exp(ms[h] - m_new)
+            corr = jnp.exp(ms[t] - m_new)
             # l sums UNscaled probabilities; v-scale folds into p for the
             # V matmul only.
-            ls2.append(ls[h] * corr + jnp.sum(p, axis=-1, keepdims=True))
+            ls2.append(ls[t] * corr + jnp.sum(p, axis=-1, keepdims=True))
             if quantized:
                 p = p * sc_buf[slot, kvh + h:kvh + h + 1, :]
             pv = jax.lax.dot_general(
                 p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (G*CQ, hd)
             ms2.append(m_new)
-            accs2.append(accs[h] * corr + pv)
+            accs2.append(accs[t] * corr + pv)
         return tuple(ms2), tuple(ls2), tuple(accs2)
 
-    init = (tuple(jnp.full((gq, 1), NEG_INF, jnp.float32) for _ in range(kvh)),
-            tuple(jnp.zeros((gq, 1), jnp.float32) for _ in range(kvh)),
-            tuple(jnp.zeros((gq, hd), jnp.float32) for _ in range(kvh)))
+    init = (tuple(jnp.full((gq, 1), NEG_INF, jnp.float32)
+                  for _ in range(n_tiles)),
+            tuple(jnp.zeros((gq, 1), jnp.float32) for _ in range(n_tiles)),
+            tuple(jnp.zeros((gq, hd), jnp.float32) for _ in range(n_tiles)))
     ms, ls, accs = jax.lax.fori_loop(0, npages, body, init)
 
-    for h in range(kvh):
-        safe_l = jnp.where(ls[h] > 0.0, ls[h], 1.0)
-        o = (accs[h] / safe_l).astype(out_ref.dtype)      # (G*CQ, hd)
-        for g in range(group):
-            out_ref[:, h * group + g, :] = o[g * cq:(g + 1) * cq]
+    # Assemble ONE full-lane (CQ, QH*hd) store: per-head stores into the
+    # 3-D (cq, 1, hd) window are an "unsupported shape cast" in Mosaic for
+    # hd % 128 != 0 (Qwen2-0.5B's hd=64); lane-concatenating the per-head
+    # tiles and writing the flattened block is layout-clean for any hd.
+    pieces = [None] * (n_tiles * eff_group)
+    for t in range(n_tiles):
+        h = t // (group // eff_group)
+        g0 = (t % (group // eff_group)) * eff_group
+        safe_l = jnp.where(ls[t] > 0.0, ls[t], 1.0)
+        o = (accs[t] / safe_l).astype(out_ref.dtype)      # (G*CQ, hd)
+        for g in range(eff_group):
+            pieces[h * group + g0 + g] = o[g * cq:(g + 1) * cq]
+    out_ref[...] = jnp.concatenate(pieces, axis=1)
 
 
 @functools.lru_cache(maxsize=64)
@@ -148,7 +165,7 @@ def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, quantized,
         num_scalar_prefetch=5,
         grid=(C,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((cq, QH, hd), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((cq, QH * hd), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
@@ -156,7 +173,7 @@ def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, quantized,
         functools.partial(_prefill_kernel, cq=cq, bs=bs, kvh=kvh, group=group,
                           hd=hd, scale=scale, quantized=quantized),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, QH, hd), dtype),
+        out_shape=jax.ShapeDtypeStruct((T, QH * hd), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -182,4 +199,4 @@ def ragged_prefill_attention(q, cache: KVCache, chunk_seg, chunk_pos,
             q.astype(out_dtype), cache.kv]
     if cache.quantized:
         args.append(cache.scale)
-    return kernel(*args).astype(q.dtype)
+    return kernel(*args).reshape(T, QH, hd).astype(q.dtype)
