@@ -18,15 +18,30 @@ import time
 from random import randint, seed
 
 
-BASELINE_QWEN3_0_6B = 3904.20  # tok/s, reference README.md:315
+# Reference's published numbers (README.md:313-318, Atlas A3 910C NPU)
+BASELINES = {
+    "qwen3-0.6b": 3904.20,
+    "qwen2-0.5b": 6940.84,
+    "llama3.2-1b": 5648.50,
+}
+BASELINE_QWEN3_0_6B = BASELINES["qwen3-0.6b"]
 
 
-from bench_model import qwen3_0_6b_config  # noqa: E402
+from bench_model import (llama32_1b_config, qwen2_0_5b_config,  # noqa: E402
+                         qwen3_0_6b_config)
+
+FAMILIES = {
+    "qwen3-0.6b": qwen3_0_6b_config,
+    "qwen2-0.5b": qwen2_0_5b_config,
+    "llama3.2-1b": llama32_1b_config,
+}
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default=None, help="HF checkpoint dir (default: random-weight Qwen3-0.6B)")
+    parser.add_argument("--model", default=None, help="HF checkpoint dir (default: random-weight --family)")
+    parser.add_argument("--family", default="qwen3-0.6b", choices=sorted(FAMILIES),
+                        help="random-weight architecture when --model is not given")
     parser.add_argument("--num-seqs", type=int, default=256)
     parser.add_argument("--max-input-len", type=int, default=1024)
     parser.add_argument("--max-output-len", type=int, default=1024)
@@ -49,7 +64,7 @@ def main():
         args.num_seqs, args.max_input_len, args.max_output_len = 8, 64, 32
         args.max_num_seqs = 8
 
-    model = args.model or qwen3_0_6b_config()
+    model = args.model or FAMILIES[args.family]()
     llm = LLM(
         model,
         max_num_seqs=args.max_num_seqs,
@@ -100,10 +115,11 @@ def main():
     print(f"Total: {total_tokens}tok, Time: {dt:.2f}s, "
           f"Throughput: {throughput:.2f}tok/s", file=sys.stderr)
     print(json.dumps({
-        "metric": "qwen3_0.6b_offline_throughput",
+        "metric": f"{args.family.replace('-', '_').replace('.', '_')}"
+                  "_offline_throughput",
         "value": round(throughput, 2),
         "unit": "tok/s",
-        "vs_baseline": round(throughput / BASELINE_QWEN3_0_6B, 4),
+        "vs_baseline": round(throughput / BASELINES[args.family], 4),
     }))
 
 

@@ -155,7 +155,10 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         v_flat = kv_buf[slot, :, bs:].reshape(rows, row_dim)
         if quantized:
             v_flat = v_flat.astype(jnp.bfloat16)
-            p_ = p_ * scale_mat(slot, 1)
+            # Re-mask AFTER the v-scale multiply: columns past the context
+            # carry never-DMA'd scale garbage, and 0 * NaN = NaN would
+            # poison the accumulator.
+            p_ = jnp.where(live, p_ * scale_mat(slot, 1), 0.0)
         # Rows past the context come from never-DMAed buffer slots; zero them
         # so 0 * garbage (possibly NaN) cannot poison the accumulator.
         live_rows = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) < rem
@@ -223,7 +226,7 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
 
 def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                            layer, *, scale: float, interpret: bool = False,
-                           pages_per_iter: int = PAGES_PER_ITER,
+                           pages_per_iter: int | None = None,
                            n_buf: int = N_BUF, q_int8: bool = False):
     """q: (S, QH, hd); cache values (L, NB, 2*bs, KVH*hd); layer: () int32.
     Returns (S, QH, hd). Slots with context_len == 0 yield zeros.
@@ -236,6 +239,14 @@ def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
     bs = bs2 // 2
     kvh = row_dim // hd
     group = QH // kvh
+    if pages_per_iter is None:
+        # ~512 KiB of KV per loop iteration amortizes the fixed
+        # per-iteration cost (DMA issue + waits + flash-state ops) for
+        # small-row models (Qwen2-0.5B: 64 KiB pages -> P=8, measured 29%
+        # faster than P=2 at ctx=2048) without bloating VMEM for big ones
+        # (Qwen3: 512 KiB pages -> P=2; P=4 and P=16 measured worse).
+        page_bytes = 2 * bs * row_dim * cache.kv.dtype.itemsize
+        pages_per_iter = min(8, max(2, (1 << 19) // page_bytes))
 
     # Block-diagonal query, built under XLA. Rows are PERMUTED to tiled
     # kv-head order — row r holds original head perm[r] = (r % KVH) * G +
