@@ -74,6 +74,10 @@ def main():
         kv_cache_dtype=args.kv_cache_dtype,
         quantization=args.quantization,
         attention_backend=args.attention_backend,
+        # Smoke keeps a small fixed page pool: sizing the cache to 70% of
+        # HBM leaves no headroom for the jnp debug backend's cache gathers
+        # (which cost a second copy) on a 16 GB chip.
+        **({"num_kvcache_blocks": 64} if args.smoke else {}),
     )
 
     in_lo = min(100, max(args.max_input_len // 2, 1))
@@ -115,8 +119,7 @@ def main():
     print(f"Total: {total_tokens}tok, Time: {dt:.2f}s, "
           f"Throughput: {throughput:.2f}tok/s", file=sys.stderr)
     print(json.dumps({
-        "metric": f"{args.family.replace('-', '_').replace('.', '_')}"
-                  "_offline_throughput",
+        "metric": f"{args.family.replace('-', '_')}_offline_throughput",
         "value": round(throughput, 2),
         "unit": "tok/s",
         "vs_baseline": round(throughput / BASELINES[args.family], 4),
