@@ -70,9 +70,34 @@ class AsyncLLMEngine:
                 self._work.wait(timeout=0.05)
                 self._work.clear()
                 continue
-            with self._lock:
-                self.engine.step()
-                self._flush_tracked()
+            try:
+                with self._lock:
+                    self.engine.step()
+                    self._flush_tracked()
+            except Exception:  # noqa: BLE001 — keep the loop alive
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "engine step failed; erroring out in-flight requests")
+                with self._lock:
+                    self._fail_tracked()
+
+    def _fail_tracked(self):
+        """A step raised: deliver a terminal error item to every consumer so
+        no request hangs forever, then drop the tracking state (lock held)."""
+        for rid, t in list(self._tracked.items()):
+            item = StreamItem(token_ids=[], finished=True,
+                              finish_reason="error")
+            try:
+                if not t.loop.is_closed():
+                    t.loop.call_soon_threadsafe(t.queue.put_nowait, item)
+            except RuntimeError:
+                pass  # consumer loop already gone
+            try:
+                self.engine.abort_request(rid)
+            except Exception:
+                pass
+        self._tracked.clear()
 
     def _flush_tracked(self):
         """Push any new completion tokens to their consumers (lock held)."""
@@ -88,7 +113,18 @@ class AsyncLLMEngine:
                                    if finished and t.seq.finish_reason
                                    else None))
                 t.pushed = len(toks)
-                t.loop.call_soon_threadsafe(t.queue.put_nowait, item)
+                try:
+                    if t.loop.is_closed():
+                        raise RuntimeError("consumer loop closed")
+                    t.loop.call_soon_threadsafe(t.queue.put_nowait, item)
+                except RuntimeError:
+                    # Consumer's event loop is gone: abort its request and
+                    # stop tracking, but keep serving everyone else.
+                    finished = True
+                    try:
+                        self.engine.abort_request(rid)
+                    except Exception:
+                        pass
             if finished:
                 done.append(rid)
         for rid in done:

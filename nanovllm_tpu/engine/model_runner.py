@@ -358,7 +358,11 @@ class ModelRunner:
         )
         extras = None
         if hasattr(self.adapter, "prepare_extras"):
-            extras = self.adapter.prepare_extras(plan.seqs, batch)
+            # Mixed plans have batch.is_prefill=False; the adapter must
+            # still treat the first len(plan.prefill) slots as prefill
+            # windows (vision slices + windowed mrope), not decode lanes.
+            extras = self.adapter.prepare_extras(plan.seqs, batch,
+                                                 n_prefill=len(plan.prefill))
         return batch, self.dispatch(batch, extras)
 
     def dispatch_plan_ahead(self, plan, gather_src, prev_tokens):

@@ -85,9 +85,14 @@ async def _respond(request: web.Request, prompt, body: dict, *, chat: bool):
         " ".join(map(str, out["token_ids"]))
     payload = _completion_payload(rid, model_id, text, out["finish_reason"],
                                   chat=chat)
+    if isinstance(prompt, list):
+        n_prompt = len(prompt)
+    else:  # OpenAI schema wants an integer; tokenize string prompts
+        n_prompt = len(tok.encode(prompt)) if tok else 0
     payload["usage"] = {
-        "prompt_tokens": len(prompt) if isinstance(prompt, list) else None,
+        "prompt_tokens": n_prompt,
         "completion_tokens": len(out["token_ids"]),
+        "total_tokens": n_prompt + len(out["token_ids"]),
     }
     return web.json_response(payload)
 

@@ -349,10 +349,15 @@ class VLAdapter:
                         mask[r0: r0 + b - a] = True
                         ds[:, r0: r0 + b - a] = dsx[:, a - p_start: b - p_start]
                 else:
-                    pos_val = (getattr(seq, "mrope_next", None) or len(seq))                         + (len(seq) - 1 - seq.num_prompt_tokens)
                     if getattr(seq, "mrope_next", None) is None:
                         pos_val = len(seq) - 1
-                    pos3[:, i] = pos_val
+                    else:
+                        pos_val = seq.mrope_next + (len(seq) - 1
+                                                    - seq.num_prompt_tokens)
+                    # In mixed batches the decode lane's token row is
+                    # seq_token_offsets[i] (= Tp + lane), NOT the slot index
+                    # i — writing pos3[:, i] clobbers a prefill-region row.
+                    pos3[:, t0] = pos_val
         return {"mm_embeds": mm, "visual_mask": mask, "deepstack": ds,
                 "mrope_pos": pos3}
 

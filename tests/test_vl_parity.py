@@ -224,3 +224,56 @@ def test_engine_multimodal_chunked_windows():
 
     assert run(16) == hf_tokens      # 4 windows: image split across windows
     assert run(2048) == hf_tokens    # single window (control)
+
+
+def test_engine_multimodal_concurrent_mixed_steps():
+    """Two concurrent VL requests of different lengths: the short one starts
+    decoding while the long one is still prefilling in 16-token windows, so
+    the engine takes MIXED steps through dispatch_plan. Regression for the
+    round-2 bugs: dispatch_plan dropped n_prefill (prefill windows were
+    treated as decode lanes — no vision embeds, wrong mrope) and the decode
+    branch wrote mrope positions at the slot index instead of the token row.
+    Both outputs must match HF greedy decoding run separately."""
+    import torch
+
+    from nanovllm_tpu import LLM, SamplingParams
+    from nanovllm_tpu.utils.loader import load_vl_params
+
+    cfg, model = make_tiny_vl()
+    rng = np.random.default_rng(7)
+    pix_a = rng.standard_normal((np.prod(GRID), PATCH_DIM)).astype(np.float32)
+    pix_b = rng.standard_normal((np.prod(GRID), PATCH_DIM)).astype(np.float32)
+    ids_a = [1, 2, 157] + [IMG_TOKEN] * 4 + [158, 5]          # 9 tokens
+    ids_b = ([9, 8, 7, 6, 5, 4, 3, 2, 1, 10, 11, 12, 13]
+             + [157] + [IMG_TOKEN] * 4 + [158]
+             + list(range(30, 60)))                            # 49 tokens
+
+    def hf_greedy(ids, pixels, n):
+        with torch.no_grad():
+            out = model.generate(
+                input_ids=torch.tensor([ids]),
+                pixel_values=torch.tensor(pixels),
+                image_grid_thw=torch.tensor([list(GRID)]),
+                max_new_tokens=n, do_sample=False)
+        return out[0, len(ids):].tolist()
+
+    hf_a = hf_greedy(ids_a, pix_a, 8)
+    hf_b = hf_greedy(ids_b, pix_b, 8)
+
+    llm = LLM(cfg, max_num_seqs=4, max_model_len=128,
+              kvcache_block_size=16, num_kvcache_blocks=64,
+              prefill_token_buckets=(16, 32, 64, 128), prefill_chunk=16,
+              prefill_step_tokens=16, dtype="float32",
+              attention_backend="jnp", warmup=False)
+    assert llm.config.chunked_prefill and not llm.config.async_decode
+    llm.model_runner.params = load_vl_params(
+        llm.model_runner.adapter.spec, model.state_dict(), dtype=jnp.float32)
+    llm.model_runner.adapter.params = llm.model_runner.params
+
+    out = llm.generate_multimodal(
+        [{"input_ids": ids_a, "pixel_values": pix_a, "image_grid_thw": [GRID]},
+         {"input_ids": ids_b, "pixel_values": pix_b, "image_grid_thw": [GRID]}],
+        [SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True),
+         SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)])
+    assert out[0]["token_ids"] == hf_a
+    assert out[1]["token_ids"] == hf_b
