@@ -25,8 +25,6 @@ class Config:
     max_model_len: int = 4096
     gpu_memory_utilization: float = 0.7  # kept name for reference parity
     tensor_parallel_size: int = 1
-    data_parallel_size: int = 1
-    expert_parallel_size: int = 1
     enforce_eager: bool = False  # kept for API parity; jit is always on,
     # this only disables the persistent compile cache
     kvcache_block_size: int = 256
@@ -61,8 +59,13 @@ class Config:
     use_graph_cache: bool = True  # persistent XLA compilation cache
     compile_cache_dir: str = os.path.expanduser("~/.cache/nanovllm_tpu_xla")
     prefill_token_buckets: tuple = _BUCKET_DEFAULT
-    decode_seq_buckets: tuple = ()  # empty = always pad to max_num_seqs
-    sort_prefills_by_length: bool = True
+    # Decode lane padding buckets: a decode/mixed step pads its S axis to the
+    # smallest bucket >= live lanes instead of always max_num_seqs, so the
+    # run tail / low-concurrency serving stops paying full-batch step
+    # latency (one extra jit shape per bucket, compiled at warmup).
+    # "auto" derives power-of-two-ish buckets from max_num_seqs; () disables
+    # bucketing (always pad to max_num_seqs).
+    decode_seq_buckets: Any = "auto"
     eos: int = -1
     seed: int = 0
     is_multimodal: bool = False
@@ -98,6 +101,22 @@ class Config:
             # Window cap must be chunk-aligned and within the token budget.
             cap = -(-self.prefill_step_tokens // self.prefill_chunk) * self.prefill_chunk
             self.prefill_step_tokens = min(cap, self.max_num_batched_tokens)
+        # Decode seq buckets: normalize to a sorted tuple ending at
+        # max_num_seqs (the shapes warmup compiles and prepare_plan picks
+        # from). Buckets are 16-aligned for clean TPU sublane tiles.
+        if self.decode_seq_buckets == "auto":
+            self.decode_seq_buckets = tuple(sorted(
+                {-(-max(self.max_num_seqs >> k, 16) // 16) * 16
+                 for k in (3, 2, 1, 0)
+                 if max(self.max_num_seqs >> k, 16) <= self.max_num_seqs}))
+        if self.decode_seq_buckets:
+            buckets = sorted(b for b in self.decode_seq_buckets
+                             if b <= self.max_num_seqs)
+            if not buckets or buckets[-1] < self.max_num_seqs:
+                buckets.append(self.max_num_seqs)
+            self.decode_seq_buckets = tuple(buckets)
+        else:
+            self.decode_seq_buckets = (self.max_num_seqs,)
         # Prefill buckets must cover the full budget.
         buckets = sorted(b for b in self.prefill_token_buckets if b <= self.max_num_batched_tokens)
         if not buckets or buckets[-1] < self.max_num_batched_tokens:

@@ -108,6 +108,7 @@ def prepare_plan(
     token_buckets: Seq[int],
     chunk: int = 128,
     virtual_lanes: list = None,
+    seq_buckets: Seq[int] = None,
 ) -> HostBatch:
     """StepPlan -> fixed-shape arrays. Token layout: [prefill region | decode
     region]. The prefill region is the chunk-aligned windows (bucketed); the
@@ -121,10 +122,18 @@ def prepare_plan(
     the previous step's commit), or -1 for a lane whose input token is
     already on the host. Fills batch.gather_idx: (T,) int32, -1 = host
     input_ids row, >=0 = gather from the in-flight step's token array."""
-    S = max_num_seqs
     n_p, n_d = len(plan.prefill), len(plan.decode)
     n = n_p + n_d
-    assert 0 < n <= S
+    assert 0 < n <= max_num_seqs
+    # PURE-decode steps pad their lane axis to the smallest configured
+    # bucket >= live lanes instead of always max_num_seqs (run tails and
+    # low-concurrency serving stop paying full-batch latency). Prefill and
+    # mixed steps keep the full S: bucketing them would multiply the jit
+    # shape count (token bucket x seq bucket) for phases that only occur
+    # while lanes are full anyway.
+    S = max_num_seqs
+    if seq_buckets and n_p == 0 and n_d > 0:
+        S = pick_bucket(n, seq_buckets)
 
     if n_p:
         n_ptok = sum(align_up(span, chunk) for _, _, span in plan.prefill)
@@ -234,6 +243,7 @@ def prepare_chain_batch(
     max_num_seqs: int,
     blocks_per_seq: int,
     chunk: int = 128,
+    seq_buckets: Seq[int] = None,
 ) -> HostBatch:
     """Decode batch for the async-decode chain: built BEFORE the previous
     step's sampled tokens reach the host, at each sequence's VIRTUAL length
@@ -243,9 +253,9 @@ def prepare_chain_batch(
     reserve_for_chain); `input_ids` are placeholders that the runner
     overrides on device with the pending step's token array, so the chain
     never round-trips tokens through the host."""
-    S = max_num_seqs
     n = len(seqs)
-    assert 0 < n <= S
+    assert 0 < n <= max_num_seqs
+    S = pick_bucket(n, seq_buckets) if seq_buckets else max_num_seqs
 
     pad_slot = n if n < S else 0
     input_ids = np.zeros(S, dtype=np.int32)
@@ -305,15 +315,17 @@ def prepare_batch(
     blocks_per_seq: int,
     token_buckets: Seq[int],
     chunk: int = 128,
+    seq_buckets: Seq[int] = None,
 ) -> HostBatch:
-    S = max_num_seqs
     n = len(seqs)
-    assert 0 < n <= S
-
+    assert 0 < n <= max_num_seqs
+    S = max_num_seqs
     if is_prefill:
         n_tokens = sum(prefill_cost(s, chunk) for s in seqs)
         T = pick_bucket(n_tokens, token_buckets)
     else:
+        if seq_buckets:
+            S = pick_bucket(n, seq_buckets)
         n_tokens = n
         T = S
 

@@ -330,6 +330,13 @@ class ModelRunner:
                 logits, dev["temperatures"], dev["top_k"], dev["top_p"], key)
         else:
             tokens = sample_tokens(logits, dev["temperatures"], key)
+        # Uniform token-array shape across decode seq buckets: the async
+        # chain gathers from the PREVIOUS step's output, so a bucketed
+        # (S_pad,) output would fork the chain compile per (cur, prev)
+        # bucket pair. Padding to max_num_seqs is a few hundred bytes.
+        if tokens.shape[0] < self.config.max_num_seqs:
+            tokens = jnp.pad(
+                tokens, (0, self.config.max_num_seqs - tokens.shape[0]))
         return cache, tokens
 
     # -- public API --------------------------------------------------------
@@ -355,6 +362,7 @@ class ModelRunner:
             blocks_per_seq=cfg.blocks_per_seq,
             token_buckets=cfg.prefill_token_buckets,
             chunk=cfg.prefill_chunk,
+            seq_buckets=cfg.decode_seq_buckets,
         )
         extras = None
         if hasattr(self.adapter, "prepare_extras"):
@@ -382,6 +390,7 @@ class ModelRunner:
             token_buckets=cfg.prefill_token_buckets,
             chunk=cfg.prefill_chunk,
             virtual_lanes=gather_src,
+            seq_buckets=cfg.decode_seq_buckets,
         )
         extras = None
         if hasattr(self.adapter, "prepare_extras"):
@@ -404,7 +413,13 @@ class ModelRunner:
             max_num_seqs=cfg.max_num_seqs,
             blocks_per_seq=cfg.blocks_per_seq,
             chunk=cfg.prefill_chunk,
+            seq_buckets=cfg.decode_seq_buckets,
         )
+        # gather_idx rides the (bucketed) token axis of THIS batch.
+        S = batch.input_ids.shape[0]
+        if gather_idx.shape[0] != S:
+            gather_idx = np.zeros(S, np.int32) if gather_idx.shape[0] < S \
+                else gather_idx[:S]
         return batch, self.dispatch(batch, prev_tokens=prev_tokens,
                                     gather_idx=gather_idx)
 
@@ -513,18 +528,19 @@ class ModelRunner:
                         tok = self.dispatch(fake2, prev_tokens=tok)
                         n += 1
                     np.asarray(tok)
-            fake = _fake_batch(cfg, self.dummy_slot, cfg.max_num_seqs,
-                               phase="decode", filtered=filtered)
-            tok = self.dispatch(fake)
-            n += 1
-            if cfg.async_decode:
-                # The chain variant is its own pytree (prev_tokens +
-                # gather_idx instead of input_ids) — warm it too.
-                tok = self.dispatch(
-                    fake, prev_tokens=tok,
-                    gather_idx=np.zeros(cfg.max_num_seqs, np.int32))
+            for S in cfg.decode_seq_buckets:
+                fake = _fake_batch(cfg, self.dummy_slot, S,
+                                   phase="decode", filtered=filtered,
+                                   seq_pad=S)
+                tok = self.dispatch(fake)
                 n += 1
-            np.asarray(tok)
+                if cfg.async_decode:
+                    # The chain variant is its own pytree (prev_tokens +
+                    # gather_idx instead of input_ids) — warm it too.
+                    tok = self.dispatch(fake, prev_tokens=tok,
+                                        gather_idx=np.zeros(S, np.int32))
+                    n += 1
+                np.asarray(tok)
         # No cache reset needed: pages are always written by a sequence's own
         # prefill before its context_lens exposes them to reads.
         logger.info("warmup compiled %d shapes in %.1fs",
@@ -532,8 +548,8 @@ class ModelRunner:
 
 
 def _fake_batch(cfg: Config, dummy_slot: int, T: int, phase: str,
-                filtered: bool = False) -> HostBatch:
-    S = cfg.max_num_seqs
+                filtered: bool = False, seq_pad: int = None) -> HostBatch:
+    S = seq_pad if seq_pad is not None else cfg.max_num_seqs
     Tp = T
     if phase == "decode":
         Tp, T = 0, S

@@ -104,6 +104,13 @@ def moe_param_pspecs(mspec, params: dict | None = None,
     stay replicated."""
     base = param_pspecs(mspec.base, tp=tp)
     ep = tp is None or mspec.num_experts % tp == 0
+    if not ep:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "num_experts=%d not divisible by tp=%d: expert weights stay "
+            "REPLICATED on every shard (no expert parallelism, full expert "
+            "memory per chip)", mspec.num_experts, tp)
     exp = P(None, TP_AXIS, None, None) if ep else P()
     base["layers"].update({
         "router": P(),
