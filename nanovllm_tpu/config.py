@@ -88,12 +88,11 @@ class Config:
         arch = (getattr(self.hf_config, "architectures", None) or [""])[0]
         if "VL" in arch or hasattr(self.hf_config, "vision_config"):
             self.is_multimodal = True
-        if self.is_multimodal:
-            # Chunked prefill works for VL: prepare_extras streams vision
-            # slices per window (intersection with placeholder ranges). The
-            # async chain stays off — decode extras (mrope offsets) depend
-            # on per-seq state the chain batch cannot precompute.
-            self.async_decode = False
+        # Multimodal runs BOTH chunked prefill (prepare_extras streams
+        # vision slices per window) and the async-decode chain: decode-lane
+        # mrope positions are a pure function of the batch's (virtual)
+        # position, precomputed like everything else the chain handles
+        # (registry.VLAdapter.prepare_extras decode branch).
         # The budget must cover one max-length prompt after chunk alignment.
         aligned_max = -(-self.max_model_len // self.prefill_chunk) * self.prefill_chunk
         self.max_num_batched_tokens = max(self.max_num_batched_tokens, aligned_max)

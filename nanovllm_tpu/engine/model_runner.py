@@ -420,7 +420,13 @@ class ModelRunner:
         if gather_idx.shape[0] != S:
             gather_idx = np.zeros(S, np.int32) if gather_idx.shape[0] < S \
                 else gather_idx[:S]
-        return batch, self.dispatch(batch, prev_tokens=prev_tokens,
+        extras = None
+        if hasattr(self.adapter, "prepare_extras"):
+            # Multimodal chain: decode mrope positions are deterministic in
+            # the virtual length the batch already carries (n_prefill=0:
+            # every lane is a decode lane).
+            extras = self.adapter.prepare_extras(seqs, batch, n_prefill=0)
+        return batch, self.dispatch(batch, extras, prev_tokens=prev_tokens,
                                     gather_idx=gather_idx)
 
     def prepare(self, seqs: list[Sequence], is_prefill: bool) -> HostBatch:

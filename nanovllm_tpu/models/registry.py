@@ -349,11 +349,17 @@ class VLAdapter:
                         mask[r0: r0 + b - a] = True
                         ds[:, r0: r0 + b - a] = dsx[:, a - p_start: b - p_start]
                 else:
+                    # Decode-lane mrope position is a pure function of the
+                    # lane's TEXT position as laid out in the batch — for
+                    # async-chain batches that position is the VIRTUAL
+                    # length (len+1)-1, so reading it from the batch (not
+                    # len(seq)-1) is what lets multimodal decode ride the
+                    # chain without a per-step host sync.
+                    p = int(batch.positions[t0])
                     if getattr(seq, "mrope_next", None) is None:
-                        pos_val = len(seq) - 1
+                        pos_val = p
                     else:
-                        pos_val = seq.mrope_next + (len(seq) - 1
-                                                    - seq.num_prompt_tokens)
+                        pos_val = seq.mrope_next + (p - seq.num_prompt_tokens)
                     # In mixed batches the decode lane's token row is
                     # seq_token_offsets[i] (= Tp + lane), NOT the slot index
                     # i — writing pos3[:, i] clobbers a prefill-region row.

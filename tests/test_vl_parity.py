@@ -265,7 +265,10 @@ def test_engine_multimodal_concurrent_mixed_steps():
               prefill_token_buckets=(16, 32, 64, 128), prefill_chunk=16,
               prefill_step_tokens=16, dtype="float32",
               attention_backend="jnp", warmup=False)
-    assert llm.config.chunked_prefill and not llm.config.async_decode
+    # Multimodal now keeps BOTH chunked prefill and the async-decode chain
+    # on (decode mrope positions are precomputed from the batch's virtual
+    # position), so this exercises mixed steps + chaining against HF greedy.
+    assert llm.config.chunked_prefill and llm.config.async_decode
     llm.model_runner.params = load_vl_params(
         llm.model_runner.adapter.spec, model.state_dict(), dtype=jnp.float32)
     llm.model_runner.adapter.params = llm.model_runner.params
