@@ -81,13 +81,12 @@ class ModelRunner:
         if config.quantization in ("int8", "int4"):
             from nanovllm_tpu.ops.quant import quantize_dense_params
 
-            if config.quantization == "int4" and tp > 1:
-                # Row-parallel sharding splits PACKED int4 rows, which does
-                # not correspond to a contiguous logical input block.
-                raise ValueError("int4 weights are single-chip only for now "
-                                 "(use quantization='int8' with TP)")
+            # int4 row-parallel weights pack per TP shard block so the
+            # PartitionSpec row split hands each shard a self-contained
+            # pack (quant.quantize_weight_int4 row_shards).
             self.params = quantize_dense_params(
-                self.params, bits=4 if config.quantization == "int4" else 8)
+                self.params, bits=4 if config.quantization == "int4" else 8,
+                row_shards=tp)
         elif config.quantization:
             raise ValueError(f"unknown quantization {config.quantization!r}")
         self.params = jax.block_until_ready(self.params)

@@ -27,12 +27,28 @@ LAYER_WEIGHTS = ("wqkv", "wo", "wgu", "wdown")
 INT4_GROUP = 128
 
 
-def quantize_weight_int4(w, group: int = INT4_GROUP, eps: float = 1e-8):
+def quantize_weight_int4(w, group: int = INT4_GROUP, eps: float = 1e-8,
+                         row_shards: int = 1):
     """w: (..., K, N) -> (packed int8 (..., K/2, N), scales (..., K/g, N)).
 
     Symmetric group-wise int4 in [-7, 7]; byte b at packed row k holds
     logical row k in its LOW nibble and logical row K/2 + k in its HIGH
-    nibble (two's complement)."""
+    nibble (two's complement).
+
+    row_shards > 1 (row-parallel weights under TP): each of the `row_shards`
+    contiguous K-blocks is packed INDEPENDENTLY, so a PartitionSpec split of
+    the packed rows into row_shards chunks hands every shard a
+    self-contained pack (low/high nibbles both local) — this is what lets
+    quantization="int4" compose with tensor_parallel_size > 1."""
+    if row_shards > 1:
+        K = w.shape[-2]
+        assert K % row_shards == 0, (K, row_shards)
+        Ks = K // row_shards
+        blocked = w.reshape(*w.shape[:-2], row_shards, Ks, w.shape[-1])
+        packed, scale = quantize_weight_int4(blocked, group, eps)
+        packed = packed.reshape(*w.shape[:-2], K // 2, w.shape[-1])
+        scale = scale.reshape(*w.shape[:-2], -1, w.shape[-1])
+        return packed, scale
     wf = w.astype(jnp.float32)
     K = wf.shape[-2]
     assert K % 2 == 0, K
@@ -50,9 +66,18 @@ def quantize_weight_int4(w, group: int = INT4_GROUP, eps: float = 1e-8):
     return packed.astype(jnp.int8), scale
 
 
-def unpack_int4(packed, scale):
+def unpack_int4(packed, scale, row_shards: int = 1):
     """Inverse of quantize_weight_int4 -> float32 (..., K, N); the group
-    size is derived from the shapes (K / num_groups)."""
+    size is derived from the shapes (K / num_groups). Pass the same
+    row_shards the pack was built with (each shard block unpacks
+    independently); a shard's LOCAL slice is always row_shards=1."""
+    if row_shards > 1:
+        Kp, N = packed.shape[-2:]
+        pb = packed.reshape(*packed.shape[:-2], row_shards,
+                            Kp // row_shards, N)
+        sb = scale.reshape(*scale.shape[:-2], row_shards,
+                           scale.shape[-2] // row_shards, N)
+        return unpack_int4(pb, sb).reshape(*packed.shape[:-2], 2 * Kp, N)
     p = packed.astype(jnp.int32)
     lo = (p << 28) >> 28                                # sign-extend nibble
     hi = (p << 24) >> 28
@@ -101,17 +126,26 @@ def quant_matmul(x, w, scale=None):
     return (y * scale).astype(x.dtype)
 
 
+# weights whose INPUT axis is split under row-parallel TP (their int4 packs
+# must be per-shard self-contained, see quantize_weight_int4 row_shards)
+ROW_PARALLEL_WEIGHTS = ("wo", "wdown")
+
+
 def quantize_dense_params(params: dict, quantize_lm_head: bool = True,
-                          bits: int = 8) -> dict:
+                          bits: int = 8, row_shards: int = 1) -> dict:
     """Quantize the big matmul weights of a dense params pytree in place
     (returns a new dict; embed and norms stay high-precision). bits: 8
-    (per-channel) or 4 (group-wise, packed)."""
+    (per-channel) or 4 (group-wise, packed). row_shards: tensor-parallel
+    degree — int4 row-parallel weights pack per shard block."""
     qfn = quantize_weight if bits == 8 else quantize_weight_int4
     out = dict(params)
     layers = dict(params["layers"])
     for name in LAYER_WEIGHTS:
         if name in layers and layers[name].dtype != jnp.int8:
-            q, s = qfn(layers[name])
+            kw = {}
+            if bits == 4 and name in ROW_PARALLEL_WEIGHTS:
+                kw["row_shards"] = row_shards
+            q, s = qfn(layers[name], **kw)
             layers[name] = q
             layers[name + "_scale"] = s
     out["layers"] = layers

@@ -92,7 +92,29 @@ def param_pspecs(spec: DenseSpec, params: dict | None = None,
         "rope_cos": P(),
         "rope_sin": P(),
     }
+    if params is not None:
+        _int4_scale_fixup(layers, params.get("layers", {}))
+        lm_sc = params.get("lm_head_scale")
+        if lm_sc is not None and getattr(lm_sc, "ndim", 1) == 2:
+            # int4 lm_head scale (D/g, V): follows the vocab (output) axis
+            pspecs["lm_head_scale"] = P(None, TP_AXIS) if vocab_sharded else P()
     return prune_to(params, pspecs) if params is not None else pspecs
+
+
+def _int4_scale_fixup(layer_pspecs: dict, player: dict) -> None:
+    """int4 scales are group-wise (.., K/g, N) — one rank higher than int8's
+    per-channel (.., N) — and shard along the same axis as their weight:
+    output axis for column-parallel, input-group axis for row-parallel."""
+    int4_specs = {
+        "wqkv_scale": P(None, None, TP_AXIS),
+        "wgu_scale": P(None, None, TP_AXIS),
+        "wo_scale": P(None, TP_AXIS, None),
+        "wdown_scale": P(None, TP_AXIS, None),
+    }
+    for name, spec4 in int4_specs.items():
+        sc = player.get(name)
+        if sc is not None and getattr(sc, "ndim", 0) == 3:
+            layer_pspecs[name] = spec4
 
 
 def moe_param_pspecs(mspec, params: dict | None = None,
@@ -116,8 +138,13 @@ def moe_param_pspecs(mspec, params: dict | None = None,
         "router": P(),
         "w_gate_up": exp,
         "w_down": exp,
+        # group-wise expert quantization scales ride the expert axis
+        "w_gate_up_scale": exp,
+        "w_down_scale": exp,
         "is_sparse": P(),
     })
+    if params is not None:
+        _int4_scale_fixup(base["layers"], params.get("layers", {}))
     return prune_to(params, base) if params is not None else base
 
 
@@ -136,7 +163,9 @@ def vl_param_pspecs(vspec, params: dict, tp: int | None = None) -> dict:
     """PartitionSpecs for Qwen3-VL params: the text backbone shards like the
     dense model; the vision tower (a tiny fraction of the weights, run once
     per image) is replicated."""
-    text = param_pspecs(vspec.text, tp=tp)
+    text = param_pspecs(vspec.text,
+                        {k: v for k, v in params.items() if k != "vision"},
+                        tp=tp)
 
     def all_rep(tree):
         return {k: all_rep(v) if isinstance(v, dict) else P()

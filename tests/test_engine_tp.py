@@ -71,6 +71,35 @@ def test_dense_engine_tp_int8_weights():
         _generate(cfg, TP, quantization="int8")
 
 
+def test_dense_engine_tp_int4_weights():
+    # int4 under TP: row-parallel weights pack per shard block, so the row
+    # split hands each shard a self-contained pack. The tp=1 baseline runs
+    # the EXACT dequantized float weights of that per-shard pack, so greedy
+    # outputs must match exactly — isolating the sharding math from
+    # quantization noise.
+    from nanovllm_tpu.ops.quant import (LAYER_WEIGHTS, ROW_PARALLEL_WEIGHTS,
+                                        quantize_weight_int4, unpack_int4)
+
+    cfg = _dense_cfg()
+    out8 = _generate(cfg, TP, quantization="int4")
+
+    llm = LLM(cfg, tensor_parallel_size=1, **COMMON)
+    params = dict(llm.model_runner.params)
+    layers = dict(params["layers"])
+    for name in LAYER_WEIGHTS:
+        rs = TP if name in ROW_PARALLEL_WEIGHTS else 1
+        q, s = quantize_weight_int4(layers[name], row_shards=rs)
+        layers[name] = unpack_int4(q, s, row_shards=rs).astype(
+            layers[name].dtype)
+    params["layers"] = layers
+    q, s = quantize_weight_int4(params["lm_head"])
+    params["lm_head"] = unpack_int4(q, s).astype(params["lm_head"].dtype)
+    llm.model_runner.params = params
+    out1 = [o["token_ids"]
+            for o in llm.generate(PROMPTS, GREEDY, use_tqdm=False)]
+    assert out1 == out8
+
+
 def test_dense_engine_tp_int8_kv_cache():
     cfg = _dense_cfg()
     assert _generate(cfg, 1, kv_cache_dtype="int8") == \
