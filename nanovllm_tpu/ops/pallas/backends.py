@@ -14,17 +14,30 @@ from nanovllm_tpu.ops.pallas.decode_attention_v4 import paged_decode_attention_v
 from nanovllm_tpu.ops.pallas.prefill_attention import ragged_prefill_attention
 
 
-def get_attention_fns(config):
+def get_attention_fns(config, interpret: bool | None = None):
+    """(prefill_fn, decode_fn) over the Pallas kernels.
+
+    interpret=None: Mosaic on TPU, interpret mode elsewhere — so
+    attention_backend="pallas" on a CPU mesh runs the SAME kernel code
+    (index math, shard_map-local geometry) hardware-free, the strongest
+    multi-chip correctness evidence a 1-chip environment can produce."""
+    import jax
+
+    if interpret is None:
+        interpret = jax.local_devices()[0].platform != "tpu"
     hf = config.text_config
     kvh = getattr(hf, "num_key_value_heads", None) or hf.num_attention_heads
     hd = getattr(hf, "head_dim", None) or hf.hidden_size // hf.num_attention_heads
-    if (kvh * hd) % 128:
-        # Mosaic requires lane-tile-aligned KV page rows; sub-128 rows only
-        # occur on toy test models — fall back to the jnp backend (the
-        # runner catches ImportError and logs it).
+    tp = config.tensor_parallel_size
+    local_kvh = kvh // tp if kvh % tp == 0 else kvh
+    if (local_kvh * hd) % 128 and not interpret:
+        # Mosaic requires lane-tile-aligned KV page rows — checked on the
+        # PER-SHARD geometry the kernels actually see under shard_map.
+        # Sub-128 rows only occur on toy test models — fall back to the jnp
+        # backend (the runner catches ImportError and logs it).
         raise ImportError(
-            f"pallas kernels need kv_heads*head_dim % 128 == 0 "
-            f"(got {kvh}*{hd})")
+            f"pallas kernels need local kv_heads*head_dim % 128 == 0 "
+            f"(got {local_kvh}*{hd} at tp={tp})")
     cq = config.prefill_chunk
     paged_decode_attention = (
         _decode_v4 if os.environ.get("NANOVLLM_DECODE_KERNEL") == "v4"
@@ -35,11 +48,12 @@ def get_attention_fns(config):
         chunk_pos = meta.positions.reshape(C, cq)[:, 0]
         return ragged_prefill_attention(
             q, cache, meta.chunk_seg, chunk_pos,
-            meta.block_tables, meta.context_lens, layer, cq=cq, scale=scale)
+            meta.block_tables, meta.context_lens, layer, cq=cq, scale=scale,
+            interpret=interpret)
 
     def decode(q, cache, meta, scale, layer=None):
         return paged_decode_attention(
             q, cache, meta.block_tables, meta.context_lens,
-            layer, scale=scale)
+            layer, scale=scale, interpret=interpret)
 
     return prefill, decode
