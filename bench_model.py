@@ -38,3 +38,20 @@ def llama32_1b_config():
                       "original_max_position_embeddings": 8192},
         architectures=["LlamaForCausalLM"],
     )
+
+
+def qwen3_30b_a3b_config():
+    """Qwen3-30B-A3B (MoE, ~30.5B total / 3.3B active): 48 layers, 128
+    experts top-8, hidden 2048. int4-packed this is ~15 GB — the largest
+    model a single 16 GB chip can serve (bench runs quantized_init)."""
+    from transformers import Qwen3MoeConfig
+
+    return Qwen3MoeConfig(
+        vocab_size=151936, hidden_size=2048, intermediate_size=6144,
+        moe_intermediate_size=768, num_experts=128, num_experts_per_tok=8,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[],
+        num_hidden_layers=48, num_attention_heads=32, num_key_value_heads=4,
+        head_dim=128, max_position_embeddings=40960, rope_theta=1000000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        architectures=["Qwen3MoeForCausalLM"],
+    )

@@ -31,7 +31,12 @@ class Config:
     num_kvcache_blocks: int = -1  # -1 = size from free HBM
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | float32 | int8
     dtype: str = "auto"  # model compute dtype: auto | bfloat16 | float32
-    quantization: Optional[str] = None  # None | "int8" (weight-only)
+    quantization: Optional[str] = None  # None | "int8" | "int4" (weight-only)
+    # Random-weight init creates quantized tensors DIRECTLY (no bf16
+    # staging) — required to bench 30B-class models whose bf16 form cannot
+    # even be staged on one chip. Only meaningful with quantization="int4"
+    # and no checkpoint path.
+    quantized_init: bool = False
     attention_backend: str = "auto"  # auto | pallas | jnp
     use_shard_map: str = "auto"  # auto: shard_map iff tensor_parallel_size>1;
     # "on": always run the step under shard_map on a 1+ device mesh (lets a

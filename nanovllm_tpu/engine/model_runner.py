@@ -79,12 +79,13 @@ class ModelRunner:
         self.params = self.adapter.load_params(
             config.model_path, self.dtype, jax.random.key(config.seed))
         if config.quantization in ("int8", "int4"):
-            from nanovllm_tpu.ops.quant import quantize_dense_params
+            from nanovllm_tpu.ops.quant import quantize_params
 
             # int4 row-parallel weights pack per TP shard block so the
             # PartitionSpec row split hands each shard a self-contained
-            # pack (quant.quantize_weight_int4 row_shards).
-            self.params = quantize_dense_params(
+            # pack (quant.quantize_weight_int4 row_shards); MoE expert
+            # stacks quantize too at int4 (chunked in-step dequant).
+            self.params = quantize_params(
                 self.params, bits=4 if config.quantization == "int4" else 8,
                 row_shards=tp)
         elif config.quantization:

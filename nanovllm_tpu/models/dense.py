@@ -138,7 +138,7 @@ def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
     cache)."""
     if attn_fn is None:
         attn_fn = default_attn_fn
-    h = params["embed"][input_ids] * spec.emb_scale
+    h = embed_lookup(params, input_ids, spec.emb_scale)
     residual = jnp.zeros_like(h)
     # gather per-token rope rows once, outside the layer scan
     cos = params["rope_cos"][meta.positions]
@@ -161,6 +161,18 @@ def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
     selected = final[meta.last_token_idx]  # (S, D)
     selected = rms_norm(selected, params["final_ln"], spec.rms_norm_eps)
     return selected, cache
+
+
+def embed_lookup(params, input_ids, emb_scale: float = 1.0):
+    """Token embedding gather; supports per-row int8 embeddings
+    (embed_scale present — the direct-quantized init path for models whose
+    bf16 embeddings would not fit)."""
+    emb = params["embed"][input_ids]
+    if "embed_scale" in params:
+        emb = (emb.astype(jnp.float32)
+               * params["embed_scale"][input_ids][:, None]
+               ).astype(params["final_ln"].dtype)
+    return emb * emb_scale if emb_scale != 1.0 else emb
 
 
 def compute_logits(spec: DenseSpec, params, hidden):

@@ -31,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nanovllm_tpu.models import dense
 from nanovllm_tpu.ops import attention as attn_ops
@@ -123,39 +124,81 @@ def moe_block(spec: MoESpec, lp, x):
 
     sharded = spec.ep_axis is not None or spec.num_local_experts > 0
 
-    def local_gs(start):
-        """Group sizes seen by a shard owning experts [start, start+E_local):
+    def local_gs(start, n_experts):
+        """Group sizes seen by a matmul over experts [start, start+n_experts):
         pad with two absorber groups backed by zero experts, so rows routed
-        outside the shard multiply into zeros (this jax version's ragged_dot
+        outside the range multiply into zeros (this jax version's ragged_dot
         does not support a traced group_offset)."""
-        e_local = spec.local_experts
         cum = jnp.cumsum(counts)
         before = jnp.where(start > 0, cum[start - 1], 0)
-        inside = cum[start + e_local - 1] - before
+        inside = cum[start + n_experts - 1] - before
         after = flat_expert.shape[0] - before - inside
-        local = jax.lax.dynamic_slice(counts, (start,), (e_local,))
+        local = jax.lax.dynamic_slice(counts, (start,), (n_experts,))
         return jnp.concatenate([before[None], local, after[None]]).astype(jnp.int32)
 
     def pad_experts(w):
         zero = jnp.zeros((1,) + w.shape[1:], w.dtype)
         return jnp.concatenate([zero, w, zero], axis=0)
 
-    if sharded:
-        if spec.ep_axis is not None:
-            start = jax.lax.axis_index(spec.ep_axis) * spec.local_experts
-        else:
-            start = jnp.asarray(spec.ep_offset, jnp.int32)
-        gs = local_gs(start)
-        w_gu, w_dn = pad_experts(lp["w_gate_up"]), pad_experts(lp["w_down"])
+    if spec.ep_axis is not None:
+        base = jax.lax.axis_index(spec.ep_axis) * spec.local_experts
+    elif spec.num_local_experts > 0:
+        base = jnp.asarray(spec.ep_offset, jnp.int32)
     else:
-        gs = counts
-        w_gu, w_dn = lp["w_gate_up"], lp["w_down"]
+        base = jnp.asarray(0, jnp.int32)
 
-    h = jax.lax.ragged_dot(x_sorted, w_gu, gs,
-                           preferred_element_type=jnp.float32)
-    h = silu_and_mul(h.astype(x.dtype))
-    y = jax.lax.ragged_dot(h, w_dn, gs,
-                           preferred_element_type=jnp.float32)  # (T*K, D)
+    def expert_mlp(start, n_experts, w_gu, w_dn, absorb):
+        """SwiGLU through experts [start, start+n_experts); rows routed
+        elsewhere come out zero (absorber groups / zero weights)."""
+        gs = local_gs(start, n_experts) if absorb \
+            else counts
+        if absorb:
+            w_gu, w_dn = pad_experts(w_gu), pad_experts(w_dn)
+        h = jax.lax.ragged_dot(x_sorted, w_gu, gs,
+                               preferred_element_type=jnp.float32)
+        h = silu_and_mul(h.astype(x.dtype))
+        return jax.lax.ragged_dot(h, w_dn, gs,
+                                  preferred_element_type=jnp.float32)
+
+    if "w_gate_up_scale" in lp:
+        # INT4 experts: weights stay PACKED in HBM; dequantize CHUNK_E
+        # experts at a time and accumulate the ragged products — a row
+        # outside the chunk hits absorber/zero groups in BOTH stages, so
+        # summing chunks gives every row exactly its own expert's output.
+        # Bounds transient bf16 dequant memory to CHUNK_E experts/step
+        # (a full-stack dequant of a 30B-class model is ~1.2 GB per layer).
+        from nanovllm_tpu.ops.quant import unpack_int4
+
+        e_local = spec.local_experts
+        # Chunk size bounded by transient-dequant memory (~96 MB of bf16
+        # expert weights live at once) — a 30B-class layer's full dequant
+        # would be ~1.2 GB, blowing the tail of a 16 GB chip.
+        per_expert = 2 * (lp["w_gate_up"].shape[1] * lp["w_gate_up"].shape[2]
+                          + lp["w_down"].shape[1] * lp["w_down"].shape[2])
+        ec = next(c for c in (32, 16, 8, 4, 2, 1)
+                  if e_local % c == 0 and c * per_expert * 2 <= 96 * 2**20)
+
+        def chunk(c, acc):
+            def dq(name):
+                w, s = lp[name], lp[name + "_scale"]
+                q = jax.lax.dynamic_slice(
+                    w, (c * ec, 0, 0), (ec,) + w.shape[1:])
+                sc = jax.lax.dynamic_slice(
+                    s, (c * ec, 0, 0), (ec,) + s.shape[1:])
+                return unpack_int4(q, sc).astype(x.dtype)
+
+            return acc + expert_mlp(base + c * ec, ec,
+                                    dq("w_gate_up"), dq("w_down"), True)
+
+        y = jax.lax.fori_loop(
+            0, e_local // ec, chunk,
+            jnp.zeros((x_sorted.shape[0], D), jnp.float32))
+    elif sharded:
+        y = expert_mlp(base, spec.local_experts,
+                       lp["w_gate_up"], lp["w_down"], True)
+    else:
+        y = expert_mlp(base, spec.num_experts,
+                       lp["w_gate_up"], lp["w_down"], False)
 
     w_sorted = weights.reshape(-1)[order].astype(jnp.float32)
     out = jnp.zeros((T, D), jnp.float32).at[token_of].add(y * w_sorted[:, None])
@@ -196,7 +239,7 @@ def forward(spec: MoESpec, params, input_ids, meta, cache, attn_fn=None,
     if attn_fn is None:
         attn_fn = dense.default_attn_fn
     b = spec.base
-    h = params["embed"][input_ids]
+    h = dense.embed_lookup(params, input_ids)
     residual = jnp.zeros_like(h)
     cos = params["rope_cos"][meta.positions]
     sin = params["rope_sin"][meta.positions]
@@ -242,6 +285,66 @@ def spec_from_hf(cfg, max_model_len=None) -> MoESpec:
             raise NotImplementedError(
                 "dense MLP wider than the whole expert stack")
     return spec
+
+
+def init_params_quantized(spec: MoESpec, dtype=jnp.bfloat16,
+                          rope_scaling=None, group: int = 128,
+                          seed: int = 0):
+    """Random-weight init that creates int4 tensors DIRECTLY (no bf16
+    staging): a 30B-class MoE is ~15 GB packed int4 but ~60 GB bf16, which
+    cannot even be staged on a 16 GB chip. Values are random bytes
+    (nibbles) with constant-magnitude scales — numerically meaningless,
+    identical compute/memory profile, which is what benching random-weight
+    models measures. Embeddings are per-row int8 (+ embed_scale); the int4
+    packed weights carry group scales exactly like ops/quant packs them."""
+    from nanovllm_tpu.ops.rope import rope_table
+
+    rng = np.random.default_rng(seed)
+    b = spec.base
+    D, L, E, I = b.hidden_size, b.num_layers, spec.num_experts, \
+        spec.moe_intermediate_size
+
+    def pack4(*shape):
+        K, N = shape[-2:]
+        g = group
+        while K % (2 * g):
+            g //= 2
+        packed = rng.integers(-128, 128, size=(*shape[:-2], K // 2, N),
+                              dtype=np.int8)
+        scale = rng.uniform(0.005, 0.02,
+                            size=(*shape[:-2], K // g, N)).astype(np.float32)
+        return jnp.asarray(packed), jnp.asarray(scale)
+
+    layers = {
+        "ln1": jnp.ones((L, D), dtype),
+        "ln2": jnp.ones((L, D), dtype),
+        "router": jnp.asarray(
+            rng.normal(0, 0.02, (L, D, E)).astype(np.float32), dtype),
+    }
+    for name, shape in (("wqkv", (L, D, b.qkv_size)),
+                        ("wo", (L, b.q_size, D)),
+                        ("w_gate_up", (L, E, D, 2 * I)),
+                        ("w_down", (L, E, I, D))):
+        layers[name], layers[name + "_scale"] = pack4(*shape)
+    if not spec.uniform_sparse:
+        layers["is_sparse"] = jnp.asarray(spec.sparse_mask, jnp.float32)
+    if b.qk_norm:
+        layers["q_norm"] = jnp.ones((L, b.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, b.head_dim), dtype)
+    lm_head, lm_scale = pack4(D, b.vocab_size)
+    cos, sin = rope_table(b.head_dim, b.max_position_embeddings, b.rope_theta,
+                          rope_scaling)
+    return {
+        "embed": jnp.asarray(rng.integers(-128, 128, (b.vocab_size, D),
+                                          dtype=np.int8)),
+        "embed_scale": jnp.full((b.vocab_size,), 2e-4, jnp.float32),
+        "layers": layers,
+        "final_ln": jnp.ones((D,), dtype),
+        "lm_head": lm_head,
+        "lm_head_scale": lm_scale,
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
 
 
 def init_params(spec: MoESpec, key, dtype=jnp.bfloat16, rope_scaling=None):

@@ -109,6 +109,9 @@ class MoEAdapter:
         self.spec = moe.spec_from_hf(hf, max_model_len=config.max_model_len)
         self.rope_scaling = DenseAdapter._resolve_rope_scaling(
             hf, config.max_model_len)
+        self.quantized_init = bool(
+            config.quantization == "int4"
+            and getattr(config, "quantized_init", False))
 
     def load_params(self, model_path, dtype, rng_key, shard_fn=None):
         from nanovllm_tpu.models import moe
@@ -119,6 +122,9 @@ class MoEAdapter:
             return load_moe_params(self.spec, model_path, dtype=dtype,
                                    rope_scaling=self.rope_scaling,
                                    shard_fn=shard_fn)
+        if self.quantized_init:
+            return moe.init_params_quantized(
+                self.spec, dtype=dtype, rope_scaling=self.rope_scaling)
         return moe.init_params(self.spec, rng_key, dtype=dtype,
                                rope_scaling=self.rope_scaling)
 

@@ -154,3 +154,24 @@ def quantize_dense_params(params: dict, quantize_lm_head: bool = True,
         out["lm_head"] = q
         out["lm_head_scale"] = s
     return out
+
+
+# MoE expert stacks (models/moe.py): contract axes are never TP-split
+# (expert parallelism shards the EXPERT axis), so no row_shards needed.
+EXPERT_WEIGHTS = ("w_gate_up", "w_down")
+
+
+def quantize_params(params: dict, bits: int = 8, row_shards: int = 1) -> dict:
+    """Entry point used by the engine: dense weights always; MoE expert
+    stacks additionally at int4 (models/moe.py dequantizes expert chunks
+    in-step; int8 experts are not implemented — they stay bf16)."""
+    out = quantize_dense_params(params, bits=bits, row_shards=row_shards)
+    if bits == 4:
+        layers = dict(out["layers"])
+        for name in EXPERT_WEIGHTS:
+            if name in layers and layers[name].dtype != jnp.int8:
+                q, s = quantize_weight_int4(layers[name])
+                layers[name] = q
+                layers[name + "_scale"] = s
+        out["layers"] = layers
+    return out

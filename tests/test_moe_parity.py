@@ -165,3 +165,48 @@ def test_expert_sharding_matches_full():
     combined = halves[0] + halves[1]
     np.testing.assert_allclose(np.asarray(combined), np.asarray(full),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_moe_int4_experts_match_dequantized():
+    """INT4 experts (chunked in-step dequant + absorber-group accumulation)
+    must reproduce moe_block EXACTLY against the same dequantized float
+    weights — isolates the chunk/dispatch math from quantization noise."""
+    import jax
+
+    from nanovllm_tpu.ops.quant import quantize_weight_int4, unpack_int4
+
+    cfg, model = make_tiny_moe()
+    spec = moe.spec_from_hf(cfg, max_model_len=128)
+    params = load_moe_params(spec, model.state_dict(), dtype=jnp.float32)
+    lp = jax.tree.map(lambda x: x[0], params["layers"])  # layer 0
+
+    lp_q = dict(lp)
+    lp_f = dict(lp)
+    for name in ("w_gate_up", "w_down"):
+        q, s = quantize_weight_int4(lp[name])
+        lp_q[name] = q
+        lp_q[name + "_scale"] = s
+        lp_f[name] = unpack_int4(q, s).astype(jnp.float32)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((10, spec.base.hidden_size)
+                                        ).astype(np.float32))
+    got = np.asarray(moe.moe_block(spec, lp_q, x))
+    want = np.asarray(moe.moe_block(spec, lp_f, x))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_moe_engine_e2e_int4():
+    from nanovllm_tpu import LLM, SamplingParams as SP
+
+    cfg, _ = make_tiny_moe()
+    llm = LLM(cfg, max_num_seqs=4, max_model_len=128, kvcache_block_size=16,
+              num_kvcache_blocks=64, prefill_token_buckets=(64, 128),
+              prefill_chunk=16, dtype="float32", attention_backend="jnp",
+              warmup=False, quantization="int4")
+    assert llm.model_runner.params["layers"]["w_gate_up"].dtype == jnp.int8
+    rng = np.random.default_rng(6)
+    out = llm.generate([list(rng.integers(1, 127, size=12))],
+                       SP(temperature=0.0, max_tokens=6, ignore_eos=True),
+                       use_tqdm=False)
+    assert len(out[0]["token_ids"]) == 6
