@@ -71,7 +71,13 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
     npages = pl.cdiv(ctx, bs)
     niters = pl.cdiv(npages, P)
 
-    def page_dmas(it, slot, do_start):
+    def page_dmas(it, slot, do_start, plane):
+        """plane 0: a page's K rows (+ its fused scale page); plane 1: its
+        V rows. K and V are SEPARATE copies of the same fused page so the
+        score matmul can start as soon as K lands while V is still in
+        flight — with one whole-page copy the full transfer gated the
+        scores and the compute time was fully exposed (kernel 25.0 ms vs
+        19.0 ms for the same DMA pattern alone, S=192 ctx=1024 int8)."""
         base = it * P
         for p in range(P):
             j = base + p
@@ -79,13 +85,18 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
             @pl.when(j < npages)
             def _():
                 page = tables_ref[seq, j]
-                copies = [pltpu.make_async_copy(
-                    kv_hbm.at[layer, page], kv_buf.at[slot, p],
-                    sems.at[0, slot, p])]
-                if quantized:
-                    copies.append(pltpu.make_async_copy(
-                        sc_hbm.at[layer, page], sc_buf.at[slot, p],
-                        sems.at[1, slot, p]))
+                if plane == 0:
+                    copies = [pltpu.make_async_copy(
+                        kv_hbm.at[layer, page, :bs],
+                        kv_buf.at[slot, p, :bs], sems.at[0, slot, p])]
+                    if quantized:
+                        copies.append(pltpu.make_async_copy(
+                            sc_hbm.at[layer, page], sc_buf.at[slot, p],
+                            sems.at[2, slot, p]))
+                else:
+                    copies = [pltpu.make_async_copy(
+                        kv_hbm.at[layer, page, bs:],
+                        kv_buf.at[slot, p, bs:], sems.at[1, slot, p])]
                 for c in copies:
                     (c.start if do_start else c.wait)()
 
@@ -93,7 +104,8 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
     for it0 in range(n_buf - 1):
         @pl.when(it0 < niters)
         def _(it0=it0):
-            page_dmas(it0, it0, True)
+            page_dmas(it0, it0, True, 0)
+            page_dmas(it0, it0, True, 1)
 
     q_bd = qbd_ref[0]                                  # (QH, KVH*hd)
     nq = q_bd.shape[0]
@@ -120,9 +132,10 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
 
         @pl.when(nxt < niters)
         def _():
-            page_dmas(nxt, nxt % n_buf, True)
+            page_dmas(nxt, nxt % n_buf, True, 0)
+            page_dmas(nxt, nxt % n_buf, True, 1)
 
-        page_dmas(it, slot, False)
+        page_dmas(it, slot, False, 0)
 
         k_flat = kv_buf[slot, :, :bs].reshape(rows, row_dim)
         if quantized and q_int8:
@@ -152,6 +165,7 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         # l accumulates UNscaled probabilities (the softmax denominator);
         # the per-column v-scale is folded into p only for the V matmul.
         l = l * corr + jnp.sum(p_, axis=-1, keepdims=True)
+        page_dmas(it, slot, False, 1)  # V rows: overlapped the score work
         v_flat = kv_buf[slot, :, bs:].reshape(rows, row_dim)
         if quantized:
             v_flat = v_flat.astype(jnp.bfloat16)
@@ -195,12 +209,12 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
         pltpu.VMEM((n_buf, pages_per_iter, 2 * bs, row_dim),
                    jnp.int8 if quantized else dtype),
     ]
-    nsems = 1
+    nsems = 2  # split K / V copies of the fused page
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(
             pltpu.VMEM((n_buf, pages_per_iter, 2 * kvh, bs), jnp.float32))
-        nsems = 2
+        nsems = 3  # + scale page
     scratch.append(pltpu.SemaphoreType.DMA((nsems, n_buf, pages_per_iter)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
