@@ -257,29 +257,58 @@ class ModelRunner:
         raise ValueError(f"unknown attention backend {backend!r}")
 
     # -- the jitted step ---------------------------------------------------
-    def _mixed_attn_fn(self):
-        """Mixed (chunked prefill + decode) steps: the token axis is
-        [prefill region | S decode rows]; each region runs its own kernel on
-        the shared cache and the outputs concatenate back into one (T, ...)
-        stream for the rest of the layer."""
-        prefill_fn, decode_fn = self._prefill_attn, self._decode_attn
+    def _store_attn_fn(self, phase):
+        """Per-phase store+attend closure with the unified model-side
+        interface `(q, k, v, cache, meta, scale, layer, kv_mode) ->
+        (out, cache)` — the backend owns the KV write. (An in-kernel fused
+        row write was built and abandoned: Mosaic cannot DMA single rows
+        into the tiled HBM cache, and an 8-row read-modify-write costs more
+        in per-program waits than the ~1.4 ms XLA scatter it replaces —
+        BUILD_NOTES round 3.) Mixed steps run the decode region first,
+        then the prefill write + kernel."""
+        chunk = self.config.prefill_chunk
+        aligned = self.config.kvcache_block_size % chunk == 0
 
-        def attn_fn(q, cache, meta, scale, layer=None):
-            S = meta.context_lens.shape[0]
-            Tp = q.shape[0] - S
-            mp = meta._replace(
-                seg_ids=meta.seg_ids[:Tp], positions=meta.positions[:Tp],
-                slot_mapping=meta.slot_mapping[:Tp], decode_context_lens=None)
-            out_p = prefill_fn(q[:Tp], cache, mp, scale, layer)
-            md = meta._replace(
-                seg_ids=meta.seg_ids[Tp:], positions=meta.positions[Tp:],
-                slot_mapping=meta.slot_mapping[Tp:],
-                context_lens=meta.decode_context_lens,
-                decode_context_lens=None)
-            out_d = decode_fn(q[Tp:], cache, md, scale, layer)
-            return jnp.concatenate([out_p, out_d], axis=0)
+        def write_prefill(cache, k, v, slots, layer):
+            if aligned:
+                return attn_ops.write_kv_chunks(cache, k, v, slots, chunk,
+                                                layer)
+            return attn_ops.write_kv(cache, k, v, slots, layer)
 
-        return attn_fn
+        def decode_part(q, k, v, cache, meta, scale, layer):
+            cache = attn_ops.write_kv(cache, k, v, meta.slot_mapping, layer,
+                                      unique=True)
+            return self._decode_attn(q, cache, meta, scale, layer), cache
+
+        if phase == "decode":
+            def fn(q, k, v, cache, meta, scale, layer, kv_mode):
+                return decode_part(q, k, v, cache, meta, scale, layer)
+        elif phase == "prefill":
+            def fn(q, k, v, cache, meta, scale, layer, kv_mode):
+                cache = write_prefill(cache, k, v, meta.slot_mapping, layer)
+                out = self._prefill_attn(q, cache, meta, scale, layer)
+                return out, cache
+        else:  # mixed: token axis is [prefill region | S decode rows]
+            def fn(q, k, v, cache, meta, scale, layer, kv_mode):
+                S = meta.context_lens.shape[0]
+                Tp = q.shape[0] - S
+                md = meta._replace(
+                    seg_ids=meta.seg_ids[Tp:], positions=meta.positions[Tp:],
+                    slot_mapping=meta.slot_mapping[Tp:],
+                    context_lens=meta.decode_context_lens,
+                    decode_context_lens=None)
+                out_d, cache = decode_part(q[Tp:], k[Tp:], v[Tp:], cache,
+                                           md, scale, layer)
+                mp = meta._replace(
+                    seg_ids=meta.seg_ids[:Tp], positions=meta.positions[:Tp],
+                    slot_mapping=meta.slot_mapping[:Tp],
+                    decode_context_lens=None)
+                cache = write_prefill(cache, k[:Tp], v[:Tp],
+                                      mp.slot_mapping, layer)
+                out_p = self._prefill_attn(q[:Tp], cache, mp, scale, layer)
+                return jnp.concatenate([out_p, out_d], axis=0), cache
+
+        return fn
 
     def _step(self, params, cache, dev, step_idx, *, phase,
               filtered_sampling=False):
@@ -289,9 +318,7 @@ class ModelRunner:
             context_lens=dev["context_lens"], last_token_idx=dev["last_token_idx"],
             chunk_seg=dev["chunk_seg"], num_seqs=dev["num_seqs"],
             decode_context_lens=dev.get("decode_ctx"))
-        attn_fn = {"prefill": self._prefill_attn,
-                   "decode": self._decode_attn,
-                   "mixed": self._mixed_attn_fn()}[phase]
+        attn_fn = self._store_attn_fn(phase)
         if "prev_tokens" in dev:
             # Async chain: inputs that depend on the in-flight step's samples
             # are gathered from its device token array. Pure-decode chains

@@ -108,9 +108,12 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     q = apply_rope_gathered(q, cos, sin)
     k = apply_rope_gathered(k, cos, sin)
 
-    cache = attn_ops.write_kv_mode(cache, k, v, meta, layer_idx,
-                                   mode=kv_mode)
-    o = attn_fn(q, cache, meta, spec.head_dim ** -0.5, layer_idx)
+    # The backend owns BOTH the KV write and the attention read — one
+    # interface point so kernels can fuse the write (decode writes one row
+    # per lane; a fused kernel does it with an in-kernel DMA instead of a
+    # separate XLA scatter pass over the cache).
+    o, cache = attn_fn(q, k, v, cache, meta, spec.head_dim ** -0.5,
+                       layer_idx, kv_mode)
     o = quant_matmul(o.reshape(T, spec.q_size), lp["wo"], lp.get("wo_scale"))
     if spec.tp_axis:
         o = jax.lax.psum(o, spec.tp_axis)
@@ -187,9 +190,14 @@ def compute_logits(spec: DenseSpec, params, hidden):
     return logits.astype(jnp.float32) * spec.logit_scale
 
 
-def default_attn_fn(q, cache, meta, scale, layer=None):
-    """Exact jnp reference path (CPU tests / small shapes)."""
-    return attn_ops.ragged_attention_reference(q, cache, meta, scale, layer=layer)
+def default_attn_fn(q, k, v, cache, meta, scale, layer=None,
+                    kv_mode="scatter"):
+    """Exact jnp reference path (CPU tests / small shapes): scatter the new
+    K/V rows, then attend over the updated cache."""
+    cache = attn_ops.write_kv_mode(cache, k, v, meta, layer, mode=kv_mode)
+    out = attn_ops.ragged_attention_reference(q, cache, meta, scale,
+                                              layer=layer)
+    return out, cache
 
 
 # ---------------------------------------------------------------------------

@@ -222,9 +222,8 @@ def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
         k = rms_norm(k, lp["k_norm"], b.rms_norm_eps)
     q = apply_rope_gathered(q, cos, sin)
     k = apply_rope_gathered(k, cos, sin)
-    cache = attn_ops.write_kv_mode(cache, k, v, meta, layer_idx,
-                                   mode=kv_mode)
-    o = attn_fn(q, cache, meta, b.head_dim ** -0.5, layer_idx)
+    o, cache = attn_fn(q, k, v, cache, meta, b.head_dim ** -0.5,
+                       layer_idx, kv_mode)
     o = quant_matmul(o.reshape(T, b.q_size), lp["wo"], lp.get("wo_scale"))
     if b.tp_axis:
         o = jax.lax.psum(o, b.tp_axis)
