@@ -54,7 +54,12 @@ def _build(T, K, N, bk, bn, x_dtype, out_dtype, interpret):
     n_k = K // bk
     return pl.pallas_call(
         functools.partial(_qmm_kernel, n_k=n_k),
-        grid=(N // bn, n_k),
+        # cdiv: N need not divide bn — pallas pads the trailing block's
+        # reads (garbage columns only feed out columns that get clipped on
+        # write). Without this, vocab-sized N (151936 = 512*296 + 384)
+        # fell to 128-wide tiles and the lm_head matmul ran ~4x its
+        # HBM floor.
+        grid=(pl.cdiv(N, bn), n_k),
         in_specs=[
             pl.BlockSpec((T, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
@@ -110,7 +115,7 @@ def _build4(T, K2, N, G, bk, bn, g, x_dtype, interpret):
     n_k = K2 // bk
     return pl.pallas_call(
         functools.partial(_qmm4_kernel, n_k=n_k, g=g, n_groups=G),
-        grid=(N // bn, n_k),
+        grid=(pl.cdiv(N, bn), n_k),  # trailing N block clipped on write
         in_specs=[
             pl.BlockSpec((T, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
@@ -142,7 +147,7 @@ def int4_matmul(x, w, scale, *, interpret: bool = False):
     G = scale.shape[0]          # number of groups over K
     g = K // G
     bk = _pick_tile(K2, (512, 256, 128))
-    bn = _pick_tile(N, (512, 256, 128))
+    bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
     # VMEM budget: two x blocks + w + scales are double-buffered by the grid
     # pipeline; the f32 accumulator and the out block are resident. Shrink
     # tiles until the estimate fits the ~16M scoped limit with headroom.
@@ -180,9 +185,10 @@ def int8_matmul(x, w, scale, *, interpret: bool = False):
     (callers treat that as best-effort)."""
     T, K = x.shape
     N = w.shape[1]
-    # MXU-friendly tiles; K tile bigger than N tile so weight DMAs are large.
+    # MXU-friendly tiles; K tile bigger than N tile so weight DMAs are
+    # large. The N grid is cdiv so any N >= 512 gets full-width tiles.
     bk = _pick_tile(K, (512, 256, 128))
-    bn = _pick_tile(N, (512, 256, 128))
+    bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
     if not bk or not bn or T % 8:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
         return (y * scale).astype(x.dtype)

@@ -47,8 +47,10 @@ def sequence_nll(adapter, params, cache, token_ids, block_size):
         chunk_seg=jnp.zeros(max(T // block_size, 1), jnp.int32),
         num_seqs=jnp.asarray(1))
     ids = jnp.asarray(token_ids, dtype=jnp.int32)
+    from nanovllm_tpu.models.dense import default_attn_fn
+
     hidden, cache = adapter.forward(params, ids, meta, cache,
-                                    attn_ops.ragged_attention_reference)
+                                    default_attn_fn)
     logits = adapter.compute_logits(params, hidden).astype(jnp.float32)
     logp = jnp.take_along_axis(jax.nn.log_softmax(logits[:-1], axis=-1),
                                ids[1:, None], axis=-1)
