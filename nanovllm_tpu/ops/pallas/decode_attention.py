@@ -9,16 +9,23 @@ cache through the per-slot block table, with per-sequence early exit
 Performance shape: decode attention compute is tiny next to its HBM traffic,
 so the kernel keeps fixed per-op overheads off the DMA critical path:
   * FUSED K|V pages: the cache stores a page's K and V rows contiguously
-    ((L, NB, 2*bs, KVH*hd), ops/attention.py KVCache), so each page is ONE
-    async copy — round 1's split arrays needed 2 (4 quantized) copies per
-    page and their issue overhead, not bandwidth, dominated the step
-    (~8-10us per page-pair iteration, BUILD_NOTES).
+    ((L, NB, 2*bs, KVH*hd), ops/attention.py KVCache) as one contiguous HBM
+    chunk, streamed as SPLIT K and V copies: the score matmul starts as
+    soon as the K half lands while the V half is still in flight (one
+    whole-page copy exposed the full transfer on the critical path).
+  * SEQ GROUPING: each grid program handles SEQ_GROUP sequences over one
+    FLAT iteration counter, so the double-buffered DMA pipeline streams
+    ACROSS sequence boundaries. With a per-seq grid, bench-typical contexts
+    (2-4 pages -> 1-2 iterations) drained the pipeline at every program:
+    measured 23.0 ms (per-seq) vs 19.0 ms pure-DMA floor at S=192
+    ctx=1024; the grouped kernel closes most of that gap and helps MORE at
+    shorter contexts.
   * GQA heads fold into ONE matmul per page group via a block-diagonal
     query — q_bd (QH, KVH*hd) places head i's vector in its kv-head's column
     block, so q_bd @ K_page^T is exactly the grouped scores. q_bd is built
     (and the per-head output extracted) in the jitted CALLER.
   * Pages stream PAGES_PER_ITER at a time with double-buffered DMA of whole
-    (2*bs, KVH*hd) pages — few large copies instead of per-head slices.
+    pages — few large copies instead of per-head slices.
   * INT8 KV: values are int8 with per-token-per-head scales stored
     TRANSPOSED and fused ((L, NB, 2*KVH, bs) f32, one more DMA per page).
     Because each block-diagonal score row touches exactly one kv head,
@@ -47,17 +54,15 @@ from nanovllm_tpu.ops.attention import KVCache
 NEG_INF = -1e30
 N_BUF = 2
 PAGES_PER_ITER = 2
+SEQ_GROUP = 16  # swept 4/8/16/32 at S=192: 16 best (ctx=1024: 17.4 ms)
 
 
 def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
-                   qbd_ref,                           # (1, QH, KVH*hd) VMEM
+                   qbd_ref,                          # (SG, QH, KVH*hd) VMEM
                    *refs,
                    bs: int, row_dim: int, group: int, scale: float,
                    quantized: bool, pages_per_iter: int = PAGES_PER_ITER,
-                   n_buf: int = N_BUF, q_int8: bool = False):
-    if q_int8:
-        qs_ref = refs[0]
-        refs = refs[1:]
+                   n_buf: int = N_BUF, seq_group: int = SEQ_GROUP):
     if quantized:
         kv_hbm, sc_hbm, out_ref, kv_buf, sc_buf, sems = refs
     else:
@@ -65,19 +70,36 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         sc_hbm = sc_buf = None
 
     P = pages_per_iter
-    seq = pl.program_id(0)
+    SG = seq_group
     layer = layer_ref[0]
-    ctx = ctx_ref[seq]
-    npages = pl.cdiv(ctx, bs)
-    niters = pl.cdiv(npages, P)
+    base_seq = pl.program_id(0) * SG
 
-    def page_dmas(it, slot, do_start, plane):
+    # Flat iteration space over this program's SG sequences: cum[i] is the
+    # first flat iteration of seq i; iterating t = 0..total-1 walks every
+    # sequence's page groups back to back, so the DMA pipeline never drains
+    # at a sequence boundary.
+    cum = [jnp.int32(0)]
+    for sg in range(SG):
+        n_it = pl.cdiv(pl.cdiv(ctx_ref[base_seq + sg], bs), P)
+        cum.append(cum[-1] + n_it)
+    total = cum[-1]
+
+    def locate(t):
+        """flat iter t -> (seq index within group, local iteration)."""
+        sg = jnp.int32(0)
+        start = jnp.int32(0)
+        for i in range(1, SG):
+            hit = t >= cum[i]
+            sg = jnp.where(hit, i, sg)
+            start = jnp.where(hit, cum[i], start)
+        return sg, t - start
+
+    def page_dmas(t, slot, do_start, plane):
         """plane 0: a page's K rows (+ its fused scale page); plane 1: its
-        V rows. K and V are SEPARATE copies of the same fused page so the
-        score matmul can start as soon as K lands while V is still in
-        flight — with one whole-page copy the full transfer gated the
-        scores and the compute time was fully exposed (kernel 25.0 ms vs
-        19.0 ms for the same DMA pattern alone, S=192 ctx=1024 int8)."""
+        V rows — split copies so scores start as soon as K lands."""
+        sg, it = locate(t)
+        seq = base_seq + sg
+        npages = pl.cdiv(ctx_ref[seq], bs)
         base = it * P
         for p in range(P):
             j = base + p
@@ -100,17 +122,19 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
                 for c in copies:
                     (c.start if do_start else c.wait)()
 
+    # Dead sequences (ctx == 0, padding lanes) produce no iterations: zero
+    # the whole out block up front, live rows overwrite at their finalize.
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
     # Pipeline prologue: keep n_buf - 1 iterations' DMAs in flight.
-    for it0 in range(n_buf - 1):
-        @pl.when(it0 < niters)
-        def _(it0=it0):
-            page_dmas(it0, it0, True, 0)
-            page_dmas(it0, it0, True, 1)
+    for t0 in range(n_buf - 1):
+        @pl.when(t0 < total)
+        def _(t0=t0):
+            page_dmas(t0, t0, True, 0)
+            page_dmas(t0, t0, True, 1)
 
-    q_bd = qbd_ref[0]                                  # (QH, KVH*hd)
-    nq = q_bd.shape[0]
+    nq = qbd_ref.shape[1]
     rows = P * bs
-
     kvh = sc_buf.shape[-2] // 2 if quantized else 0
 
     def scale_mat(slot, plane):
@@ -124,35 +148,36 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
             axis=1)
         return pltpu.repeat(sc, group, axis=0)
 
-    def body(it, carry):
+    def body(t, carry):
         m, l, acc = carry
-        slot = it % n_buf
+        slot = t % n_buf
 
-        nxt = it + n_buf - 1
+        nxt = t + n_buf - 1
 
-        @pl.when(nxt < niters)
+        @pl.when(nxt < total)
         def _():
             page_dmas(nxt, nxt % n_buf, True, 0)
             page_dmas(nxt, nxt % n_buf, True, 1)
 
-        page_dmas(it, slot, False, 0)
+        sg, it = locate(t)
+        seq = base_seq + sg
+        ctx = ctx_ref[seq]
 
+        # First iteration of a sequence: reset the flash state.
+        fresh = it == 0
+        m = jnp.where(fresh, NEG_INF, m)
+        l = jnp.where(fresh, 0.0, l)
+        acc = jnp.where(fresh, 0.0, acc)
+
+        page_dmas(t, slot, False, 0)
+
+        q_bd = qbd_ref[sg]                             # (QH, KVH*hd)
         k_flat = kv_buf[slot, :, :bs].reshape(rows, row_dim)
-        if quantized and q_int8:
-            # Native int8 x int8 MXU dot (2x bf16 throughput, no VPU cast of
-            # the K page): exact given the int8 operands; the real q values
-            # are q_i8 * q_scale (per query head, applied below) and k_i8 *
-            # k_scale (per token per kv head, scale_mat as usual).
-            s = jax.lax.dot_general(
-                q_bd, k_flat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-            s = s * (qs_ref[0][:, :1] * scale)
-        else:
-            if quantized:
-                k_flat = k_flat.astype(jnp.bfloat16)
-            s = jax.lax.dot_general(
-                q_bd, k_flat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (QH, P*bs)
+        if quantized:
+            k_flat = k_flat.astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q_bd, k_flat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (QH, P*bs)
         if quantized:
             s = s * scale_mat(slot, 0)
         rem = ctx - it * rows
@@ -165,7 +190,7 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
         # l accumulates UNscaled probabilities (the softmax denominator);
         # the per-column v-scale is folded into p only for the V matmul.
         l = l * corr + jnp.sum(p_, axis=-1, keepdims=True)
-        page_dmas(it, slot, False, 1)  # V rows: overlapped the score work
+        page_dmas(t, slot, False, 1)  # V rows: overlapped the score work
         v_flat = kv_buf[slot, :, bs:].reshape(rows, row_dim)
         if quantized:
             v_flat = v_flat.astype(jnp.bfloat16)
@@ -181,29 +206,33 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
             p_.astype(v_flat.dtype), v_flat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (QH, KVH*hd)
         acc = acc * corr + pv
+
+        # Last iteration of this sequence: normalize and emit its out row.
+        n_it = pl.cdiv(pl.cdiv(ctx, bs), P)
+
+        @pl.when(it == n_it - 1)
+        def _():
+            safe_l = jnp.where(l > 0.0, l, 1.0)
+            out_ref[sg] = (acc / safe_l).astype(out_ref.dtype)
+
         return m_new, l, acc
 
     init = (jnp.full((nq, 1), NEG_INF, jnp.float32),
             jnp.zeros((nq, 1), jnp.float32),
             jnp.zeros((nq, row_dim), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(0, niters, body, init)
-
-    safe_l = jnp.where(l > 0.0, l, 1.0)
-    out_ref[0] = (acc / safe_l).astype(out_ref.dtype)
+    jax.lax.fori_loop(0, total, body, init)
 
 
 @functools.lru_cache(maxsize=64)
 def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
                   interpret, pages_per_iter=PAGES_PER_ITER, n_buf=N_BUF,
-                  q_int8=False):
+                  seq_group=SEQ_GROUP):
     kvh = row_dim // hd
+    SG = seq_group
     in_specs = [
-        pl.BlockSpec((1, QH, row_dim), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((SG, QH, row_dim), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if q_int8:
-        in_specs.append(pl.BlockSpec((1, QH, 128), lambda i, *_: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch = [
         pltpu.VMEM((n_buf, pages_per_iter, 2 * bs, row_dim),
@@ -219,9 +248,9 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(S,),
+        grid=(S // SG,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, QH, row_dim), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((SG, QH, row_dim), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
@@ -229,7 +258,7 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
         functools.partial(_decode_kernel, bs=bs, row_dim=row_dim, group=group,
                           scale=scale, quantized=quantized,
                           pages_per_iter=pages_per_iter, n_buf=n_buf,
-                          q_int8=q_int8),
+                          seq_group=SG),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, QH, row_dim), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -241,7 +270,7 @@ def _build_kernel(S, QH, hd, bs, row_dim, group, dtype, scale, quantized,
 def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                            layer, *, scale: float, interpret: bool = False,
                            pages_per_iter: int | None = None,
-                           n_buf: int = N_BUF, q_int8: bool = False):
+                           n_buf: int = N_BUF, seq_group: int | None = None):
     """q: (S, QH, hd); cache values (L, NB, 2*bs, KVH*hd); layer: () int32.
     Returns (S, QH, hd). Slots with context_len == 0 yield zeros.
 
@@ -261,6 +290,8 @@ def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
         # (Qwen3: 512 KiB pages -> P=2; P=4 and P=16 measured worse).
         page_bytes = 2 * bs * row_dim * cache.kv.dtype.itemsize
         pages_per_iter = min(8, max(2, (1 << 19) // page_bytes))
+    if seq_group is None:
+        seq_group = next(g for g in (SEQ_GROUP, 8, 4, 2, 1) if S % g == 0)
 
     # Block-diagonal query, built under XLA. Rows are PERMUTED to tiled
     # kv-head order — row r holds original head perm[r] = (r % KVH) * G +
@@ -273,26 +304,12 @@ def paged_decode_attention(q, cache: KVCache, block_tables, context_lens,
                      jnp.zeros((), q.dtype)).reshape(S, QH, row_dim)
     out_dtype = jnp.dtype(jnp.bfloat16) if cache.quantized else jnp.dtype(q.dtype)
 
-    q_int8 = bool(q_int8 and cache.quantized)
     kernel = _build_kernel(S, QH, hd, bs, row_dim, group, out_dtype,
                            float(scale), cache.quantized, interpret,
-                           pages_per_iter, n_buf, q_int8)
+                           pages_per_iter, n_buf, seq_group)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
-    if q_int8:
-        # Per-row symmetric int8 quantization of the block-diagonal query
-        # (zeros stay exactly zero); scale replicated over 128 lanes for a
-        # clean VMEM block.
-        qf = q_bd.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(qf), axis=-1)               # (S, QH)
-        qsc = jnp.maximum(amax, 1e-8) / 127.0
-        q_i8 = jnp.clip(jnp.round(qf / qsc[..., None]), -127, 127
-                        ).astype(jnp.int8)
-        qs_block = jnp.broadcast_to(qsc[..., None], (S, QH, 128)
-                                    ).astype(jnp.float32)
-        args = [layer, block_tables, context_lens, q_i8, qs_block, cache.kv]
-    else:
-        args = [layer, block_tables, context_lens, q_bd.astype(out_dtype),
-                cache.kv]
+    args = [layer, block_tables, context_lens, q_bd.astype(out_dtype),
+            cache.kv]
     if cache.quantized:
         args.append(cache.scale)
     out_flat = kernel(*args)

@@ -193,39 +193,3 @@ def test_write_kv_chunks_matches_scatter():
                                   np.asarray(b.kv[0, pg, off]))
     np.testing.assert_array_equal(np.asarray(a.scale[0, pg, :, off]),
                                   np.asarray(b.scale[0, pg, :, off]))
-
-
-def test_decode_kernel_q_int8_scores():
-    """q_int8 variant (native int8 x int8 score dot) must match the bf16-q
-    int8-KV kernel within the extra q-quantization error."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    from nanovllm_tpu.ops import attention as attn_ops
-    from nanovllm_tpu.ops.pallas.decode_attention import paged_decode_attention
-
-    rng = np.random.default_rng(3)
-    L, NB, bs, KVH, G, hd, S = 2, 12, 16, 2, 2, 32, 4
-    QH = KVH * G
-    cache = attn_ops.KVCache.zeros(L, NB, bs, KVH, hd, quantized=True)
-    ctxs = np.array([5, 16, 23, 1], np.int32)
-    tables = np.zeros((S, 2), np.int32)
-    for i, c in enumerate(ctxs):
-        npg = -(-int(c) // bs)
-        tables[i, :npg] = rng.permutation(NB - 1)[:npg] + 1
-        for pos in range(int(c)):
-            slot = tables[i, pos // bs] * bs + pos % bs
-            k = jnp.asarray(rng.standard_normal((1, KVH, hd)), jnp.float32)
-            v = jnp.asarray(rng.standard_normal((1, KVH, hd)), jnp.float32)
-            cache = attn_ops.write_kv(cache, k, v,
-                                      jnp.asarray([slot]), layer=1)
-    q = jnp.asarray(rng.standard_normal((S, QH, hd)), jnp.float32
-                    ).astype(jnp.bfloat16)
-    kw = dict(scale=hd ** -0.5, interpret=True)
-    ref = paged_decode_attention(q, cache, jnp.asarray(tables),
-                                 jnp.asarray(ctxs), 1, **kw)
-    out = paged_decode_attention(q, cache, jnp.asarray(tables),
-                                 jnp.asarray(ctxs), 1, q_int8=True, **kw)
-    np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(ref, np.float32),
-                               rtol=0.05, atol=0.05)

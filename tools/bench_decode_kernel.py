@@ -31,7 +31,7 @@ def main():
     p.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
     p.add_argument("--pages-per-iter", type=int, default=2)
     p.add_argument("--n-buf", type=int, default=2)
-    p.add_argument("--q-int8", action="store_true")
+    p.add_argument("--seq-group", type=int, default=None)
     args = p.parse_args()
 
     import jax
@@ -69,8 +69,7 @@ def main():
         out = q
         for i in range(args.layers):
             kw = {"pages_per_iter": args.pages_per_iter, "n_buf": args.n_buf,
-                  "q_int8": args.q_int8} \
-                if args.kernel == "v3" else {}
+                  "seq_group": args.seq_group} if args.kernel == "v3" else {}
             out = attn(out, cache, tables, ctx, i % L, scale=hd ** -0.5, **kw)
         return out
 
