@@ -84,6 +84,9 @@ class LLMEngine:
             if self.tokenizer is None:
                 raise ValueError("string prompt but no tokenizer available")
             prompt = self.tokenizer.encode(prompt)
+        if self.config.is_multimodal \
+                and mm_kwargs.get("pixel_values_videos") is not None:
+            mm_kwargs = self._merge_vision_inputs(prompt, mm_kwargs)
         if self.config.is_multimodal and mm_kwargs.get("pixel_values") is not None \
                 and not mm_kwargs.get("vision_placeholders"):
             mm_kwargs["vision_placeholders"] = self._find_vision_spans(prompt)
@@ -182,6 +185,57 @@ class LLMEngine:
                 + len(plan.decode)
         return outputs, num_tokens
 
+    def _merge_vision_inputs(self, prompt, mm):
+        """Unify image and VIDEO inputs into span-ordered pixel rows,
+        per-placeholder mrope grids, and an encode plan.
+
+        Qwen3-VL treats video frames as INDEPENDENT images: each frame is
+        its own placeholder run (timestamp tokens separate frames), the
+        rope index splits video_grid_thw into per-frame (1, h, w) grids
+        (HF modeling_qwen3_vl.get_rope_index:925-928), and the vision
+        tower segments attention and position embeddings PER FRAME
+        (cu_seqlens repeats h*w per t, modeling_qwen3_vl.py:727). So a
+        video simply becomes t frame-images spliced into the unified
+        pixel/grid lists in span order. The reference has no video support
+        at all — this is an extension."""
+        import numpy as np
+
+        pv = mm.pop("pixel_values", None)
+        ig = mm.pop("image_grid_thw", None)
+        pvv = mm.pop("pixel_values_videos")
+        vg = mm.pop("video_grid_thw", None)
+        vid = getattr(self.config.hf_config, "video_token_id", None)
+        spans = mm.get("vision_placeholders") or self._find_vision_spans(prompt)
+        mm["vision_placeholders"] = spans
+        pv = None if pv is None else np.asarray(pv, np.float32)
+        pvv = np.asarray(pvv, np.float32)
+        ig = [tuple(int(x) for x in g) for g in (ig if ig is not None else [])]
+        vg = [tuple(int(x) for x in g) for g in (vg if vg is not None else [])]
+        rows, grids = [], []
+        ii = vi = 0
+        img_row = vid_row = 0
+        vframes = 0
+        for start, _ln in spans:
+            if prompt[start] == vid:
+                t, h, w = vg[vi]
+                rows.append(pvv[vid_row: vid_row + h * w])
+                vid_row += h * w
+                grids.append((1, h, w))
+                vframes += 1
+                if vframes == t:
+                    vi += 1
+                    vframes = 0
+            else:
+                t, h, w = ig[ii]
+                n = t * h * w
+                rows.append(pv[img_row: img_row + n])
+                img_row += n
+                grids.append((t, h, w))
+                ii += 1
+        mm["pixel_values"] = np.concatenate(rows, axis=0)
+        mm["image_grid_thw"] = grids
+        return mm
+
     def _find_vision_spans(self, token_ids):
         """Runs of image/video placeholder tokens -> [(start, length)]
         (the reference expands placeholders itself, llm_engine.py:221-277;
@@ -206,9 +260,11 @@ class LLMEngine:
         """Multimodal batch generation (reference llm_engine.py:178-219).
 
         Each request is a dict with either
-          {"prompt": str, "images": [...]} (requires an HF processor), or
+          {"prompt": str, "images": [...], "videos": [...]} (requires an HF
+          processor), or pre-processed
           {"input_ids": [...], "pixel_values": array,
-           "image_grid_thw": [(t, h, w), ...]} (pre-processed).
+           "image_grid_thw": [(t, h, w), ...],
+           "pixel_values_videos": array, "video_grid_thw": [...]}.
         """
         if sampling_params is None:
             sampling_params = SamplingParams()
@@ -216,26 +272,37 @@ class LLMEngine:
             sampling_params = [sampling_params] * len(requests)
         seq_order = []
         for req, sp in zip(requests, sampling_params):
+            vid_kwargs = {}
             if "input_ids" in req:
                 ids = list(req["input_ids"])
                 pixel_values = req.get("pixel_values")
                 grids = req.get("image_grid_thw")
+                if req.get("pixel_values_videos") is not None:
+                    vid_kwargs = {
+                        "pixel_values_videos": req["pixel_values_videos"],
+                        "video_grid_thw": req.get("video_grid_thw")}
             else:
                 if processor is None:
                     raise ValueError("string prompts need an HF processor")
                 messages = [{"role": "user", "content": [
                     *({"type": "image", "image": im} for im in req.get("images", [])),
+                    *({"type": "video", "video": v} for v in req.get("videos", [])),
                     {"type": "text", "text": req["prompt"]},
                 ]}]
                 text = processor.apply_chat_template(
                     messages, tokenize=False, add_generation_prompt=True)
                 enc = processor(text=[text], images=req.get("images") or None,
+                                videos=req.get("videos") or None,
                                 return_tensors="np")
                 ids = enc["input_ids"][0].tolist()
                 pixel_values = enc.get("pixel_values")
                 grids = enc.get("image_grid_thw")
+                if enc.get("pixel_values_videos") is not None:
+                    vid_kwargs = {
+                        "pixel_values_videos": enc["pixel_values_videos"],
+                        "video_grid_thw": enc.get("video_grid_thw")}
             seq = self.add_request(ids, sp, pixel_values=pixel_values,
-                                   image_grid_thw=grids)
+                                   image_grid_thw=grids, **vid_kwargs)
             seq_order.append(seq.seq_id)
 
         done = {}

@@ -69,6 +69,9 @@ class Sequence:
         # vision-token spans within the prompt, and per-span consumption
         # counters for chunked prefill (reference sequence.py:51-71).
         self.pixel_values = pixel_values
+        # Per-PLACEHOLDER grids: a video contributes one (1, h, w) entry
+        # per frame (Qwen3-VL frames are independent images to both the
+        # vision tower and the rope index; llm_engine._merge_vision_inputs).
         self.image_grid_thw = image_grid_thw
         self.vision_placeholders = list(vision_placeholders or [])
         self.vision_consumed = [0] * len(self.vision_placeholders)

@@ -280,3 +280,83 @@ def test_engine_multimodal_concurrent_mixed_steps():
          SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)])
     assert out[0]["token_ids"] == hf_a
     assert out[1]["token_ids"] == hf_b
+
+
+def test_video_generate_matches_hf():
+    """Video inputs end-to-end: per-frame placeholder runs (timestamp
+    tokens separate frames), whole-grid tower encode split into per-frame
+    chunks, per-frame (1,h,w) mrope grids — greedy tokens must match HF
+    (which has native video support; the REFERENCE engine has none)."""
+    import torch
+
+    from nanovllm_tpu import LLM, SamplingParams
+
+    cfg, model = make_tiny_vl()
+    VID = 156
+    rng = np.random.default_rng(21)
+    vgrid = (2, 4, 4)  # 2 temporal patches -> 2 frames of 4 merged tokens
+    pix = (rng.standard_normal((int(np.prod(vgrid)), PATCH_DIM))
+           .astype(np.float32) * 0.5)
+    ids = ([1, 2, 157] + [VID] * 4 + [158, 9, 157] + [VID] * 4 + [158, 5]
+           + list(range(20, 30)))
+    with torch.no_grad():
+        out = model.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values_videos=torch.tensor(pix),
+            video_grid_thw=torch.tensor([list(vgrid)]),
+            max_new_tokens=8, do_sample=False)
+    hf = out[0, len(ids):].tolist()
+
+    llm = LLM(cfg, max_num_seqs=4, max_model_len=128,
+              kvcache_block_size=16, num_kvcache_blocks=64,
+              prefill_token_buckets=(32, 64, 128), prefill_chunk=16,
+              dtype="float32", attention_backend="jnp", warmup=False)
+    llm.model_runner.params = load_vl_params(
+        llm.model_runner.adapter.spec, model.state_dict(), dtype=jnp.float32)
+    llm.model_runner.adapter.params = llm.model_runner.params
+    res = llm.generate_multimodal(
+        [{"input_ids": ids, "pixel_values_videos": pix,
+          "video_grid_thw": [vgrid]}],
+        [SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)])
+    assert res[0]["token_ids"] == hf
+
+
+def test_video_and_image_mixed_request():
+    """An image and a video in one prompt: span-ordered grid/pixel merge."""
+    import torch
+
+    from nanovllm_tpu import LLM, SamplingParams
+
+    cfg, model = make_tiny_vl()
+    VID = 156
+    rng = np.random.default_rng(22)
+    vgrid = (2, 4, 4)
+    igrid = (1, 4, 4)
+    ipix = (rng.standard_normal((int(np.prod(igrid)), PATCH_DIM))
+            .astype(np.float32) * 0.5)
+    vpix = (rng.standard_normal((int(np.prod(vgrid)), PATCH_DIM))
+            .astype(np.float32) * 0.5)
+    ids = ([1, 157] + [IMG_TOKEN] * 4 + [158, 7, 157] + [VID] * 4
+           + [158, 9, 157] + [VID] * 4 + [158] + list(range(30, 40)))
+    with torch.no_grad():
+        out = model.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values=torch.tensor(ipix),
+            image_grid_thw=torch.tensor([list(igrid)]),
+            pixel_values_videos=torch.tensor(vpix),
+            video_grid_thw=torch.tensor([list(vgrid)]),
+            max_new_tokens=6, do_sample=False)
+    hf = out[0, len(ids):].tolist()
+
+    llm = LLM(cfg, max_num_seqs=4, max_model_len=128,
+              kvcache_block_size=16, num_kvcache_blocks=64,
+              prefill_token_buckets=(32, 64, 128), prefill_chunk=16,
+              dtype="float32", attention_backend="jnp", warmup=False)
+    llm.model_runner.params = load_vl_params(
+        llm.model_runner.adapter.spec, model.state_dict(), dtype=jnp.float32)
+    llm.model_runner.adapter.params = llm.model_runner.params
+    res = llm.generate_multimodal(
+        [{"input_ids": ids, "pixel_values": ipix, "image_grid_thw": [igrid],
+          "pixel_values_videos": vpix, "video_grid_thw": [vgrid]}],
+        [SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)])
+    assert res[0]["token_ids"] == hf
