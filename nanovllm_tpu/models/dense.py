@@ -86,16 +86,30 @@ def _split_qkv(qkv, spec: DenseSpec):
     return q, k, v
 
 
-def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
+# Layer-stacked weights kept OUT of the scan xs: quant_matmul selects the
+# layer inside its kernel index maps, so no per-layer slice of the (big)
+# weight stacks is ever materialized (norms/biases are tiny and still scan).
+BIG_WEIGHTS = ("wqkv", "wqkv_scale", "wo", "wo_scale",
+               "wgu", "wgu_scale", "wdown", "wdown_scale")
+
+
+def split_layer_params(layers: dict):
+    big = {k: v for k, v in layers.items() if k in BIG_WEIGHTS}
+    small = {k: v for k, v in layers.items() if k not in BIG_WEIGHTS}
+    return big, small
+
+
+def decoder_layer(spec: DenseSpec, big, lp, h, residual, cos, sin,
                   cache, layer_idx, meta: attn_ops.AttnMeta,
                   attn_fn, kv_mode: str = "scatter"):
     """One decoder layer. h/residual: (T, D). `cache` is the FULL stacked
-    KVCache; all reads/writes go through fused layer-indexed
-    gathers/scatters so no per-layer slice is materialized."""
+    KVCache and `big` the FULL weight stacks; all reads/writes go through
+    layer-indexed kernels/gathers so no per-layer slice is materialized."""
     T = h.shape[0]
     normed, residual = add_rms_norm(h, residual, lp["ln1"], spec.rms_norm_eps)
 
-    qkv = quant_matmul(normed, lp["wqkv"], lp.get("wqkv_scale"))
+    qkv = quant_matmul(normed, big["wqkv"], big.get("wqkv_scale"),
+                       layer=layer_idx)
     if spec.qkv_bias:
         qkv = qkv + lp["bqkv"]
     q, k, v = _split_qkv(qkv, spec)
@@ -114,7 +128,8 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     # separate XLA scatter pass over the cache).
     o, cache = attn_fn(q, k, v, cache, meta, spec.head_dim ** -0.5,
                        layer_idx, kv_mode)
-    o = quant_matmul(o.reshape(T, spec.q_size), lp["wo"], lp.get("wo_scale"))
+    o = quant_matmul(o.reshape(T, spec.q_size), big["wo"],
+                     big.get("wo_scale"), layer=layer_idx)
     if spec.tp_axis:
         o = jax.lax.psum(o, spec.tp_axis)
     if spec.o_bias:
@@ -122,10 +137,12 @@ def decoder_layer(spec: DenseSpec, lp, h, residual, cos, sin,
     o = o * spec.residual_scale
 
     normed, residual = add_rms_norm(o, residual, lp["ln2"], spec.rms_norm_eps)
-    gu = quant_matmul(normed, lp["wgu"], lp.get("wgu_scale"))
+    gu = quant_matmul(normed, big["wgu"], big.get("wgu_scale"),
+                      layer=layer_idx)
     if spec.mlp_bias:
         gu = gu + lp["bgu"]
-    mlp_out = quant_matmul(silu_and_mul(gu), lp["wdown"], lp.get("wdown_scale"))
+    mlp_out = quant_matmul(silu_and_mul(gu), big["wdown"],
+                           big.get("wdown_scale"), layer=layer_idx)
     if spec.tp_axis:
         mlp_out = jax.lax.psum(mlp_out, spec.tp_axis)
     if spec.mlp_bias:
@@ -147,17 +164,19 @@ def forward(spec: DenseSpec, params, input_ids, meta: attn_ops.AttnMeta,
     cos = params["rope_cos"][meta.positions]
     sin = params["rope_sin"][meta.positions]
 
+    big, small = split_layer_params(params["layers"])
+
     def body(carry, xs):
         h, residual, cache = carry
         lp, idx = xs
         h, residual, cache = decoder_layer(
-            spec, lp, h, residual, cos, sin, cache, idx, meta, attn_fn,
+            spec, big, lp, h, residual, cos, sin, cache, idx, meta, attn_fn,
             kv_mode=kv_mode)
         return (h, residual, cache), None
 
     idxs = jnp.arange(spec.num_layers, dtype=jnp.int32)
     (h, residual, cache), _ = jax.lax.scan(
-        body, (h, residual, cache), (params["layers"], idxs))
+        body, (h, residual, cache), (small, idxs))
 
     final = h + residual
     # Only the last query token of each slot feeds the LM head.

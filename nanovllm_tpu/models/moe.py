@@ -207,12 +207,13 @@ def moe_block(spec: MoESpec, lp, x):
     return out.astype(x.dtype)
 
 
-def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
-                  meta, attn_fn, kv_mode: str = "scatter"):
+def decoder_layer(spec: MoESpec, big, lp, h, residual, cos, sin, cache,
+                  layer_idx, meta, attn_fn, kv_mode: str = "scatter"):
     b = spec.base
     T = h.shape[0]
     normed, residual = add_rms_norm(h, residual, lp["ln1"], b.rms_norm_eps)
-    qkv = quant_matmul(normed, lp["wqkv"], lp.get("wqkv_scale"))
+    qkv = quant_matmul(normed, big["wqkv"], big.get("wqkv_scale"),
+                       layer=layer_idx)
     q, k, v = dense._split_qkv(qkv, b)
     q = q.reshape(T, b.num_q_heads, b.head_dim)
     k = k.reshape(T, b.num_kv_heads, b.head_dim)
@@ -224,7 +225,8 @@ def decoder_layer(spec: MoESpec, lp, h, residual, cos, sin, cache, layer_idx,
     k = apply_rope_gathered(k, cos, sin)
     o, cache = attn_fn(q, k, v, cache, meta, b.head_dim ** -0.5,
                        layer_idx, kv_mode)
-    o = quant_matmul(o.reshape(T, b.q_size), lp["wo"], lp.get("wo_scale"))
+    o = quant_matmul(o.reshape(T, b.q_size), big["wo"], big.get("wo_scale"),
+                     layer=layer_idx)
     if b.tp_axis:
         o = jax.lax.psum(o, b.tp_axis)
 
@@ -243,17 +245,19 @@ def forward(spec: MoESpec, params, input_ids, meta, cache, attn_fn=None,
     cos = params["rope_cos"][meta.positions]
     sin = params["rope_sin"][meta.positions]
 
+    big, small = dense.split_layer_params(params["layers"])
+
     def body(carry, xs):
         h, residual, cache = carry
         lp, idx = xs
         h, residual, cache = decoder_layer(
-            spec, lp, h, residual, cos, sin, cache, idx, meta, attn_fn,
+            spec, big, lp, h, residual, cos, sin, cache, idx, meta, attn_fn,
             kv_mode=kv_mode)
         return (h, residual, cache), None
 
     idxs = jnp.arange(b.num_layers, dtype=jnp.int32)
     (h, residual, cache), _ = jax.lax.scan(
-        body, (h, residual, cache), (params["layers"], idxs))
+        body, (h, residual, cache), (small, idxs))
     final = h + residual
     selected = final[meta.last_token_idx]
     selected = rms_norm(selected, params["final_ln"], b.rms_norm_eps)

@@ -272,11 +272,13 @@ def text_forward(spec: VLSpec, params, input_ids, meta, cache, attn_fn=None,
         n_ds = 0
     residual = jnp.zeros_like(h)
 
+    big, small = dense.split_layer_params(params["layers"])
+
     def body(carry, xs):
         h, residual, cache = carry
         lp, idx = xs
         h, residual, cache = dense.decoder_layer(
-            ts, lp, h, residual, cos, sin, cache, idx, meta, attn_fn,
+            ts, big, lp, h, residual, cos, sin, cache, idx, meta, attn_fn,
             kv_mode=kv_mode)
         if n_ds:
             ds = jax.lax.dynamic_index_in_dim(
@@ -286,7 +288,7 @@ def text_forward(spec: VLSpec, params, input_ids, meta, cache, attn_fn=None,
 
     idxs = jnp.arange(ts.num_layers, dtype=jnp.int32)
     (h, residual, cache), _ = jax.lax.scan(
-        body, (h, residual, cache), (params["layers"], idxs))
+        body, (h, residual, cache), (small, idxs))
     final = h + residual
     selected = final[meta.last_token_idx]
     selected = rms_norm(selected, params["final_ln"], ts.rms_norm_eps)

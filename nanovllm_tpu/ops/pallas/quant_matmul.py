@@ -134,6 +134,60 @@ def _build4(T, K2, N, G, bk, bn, g, x_dtype, interpret):
     )
 
 
+@functools.lru_cache(maxsize=128)
+def _build_stacked(L, T, K, N, bk, bn, x_dtype, out_dtype, interpret):
+    n_k = K // bk
+    return pl.pallas_call(
+        functools.partial(_qmm_stacked_kernel, n_k=n_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # layer index
+            grid=(pl.cdiv(N, bn), n_k),
+            in_specs=[
+                pl.BlockSpec((T, bk), lambda n, k, l: (0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, bn), lambda n, k, l: (l[0], k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bn), lambda n, k, l: (l[0], 0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T, bn), lambda n, k, l: (0, n),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((T, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )
+
+
+def _qmm_stacked_kernel(layer_ref, x_ref, w_ref, s_ref, out_ref, acc_ref,
+                        *, n_k: int):
+    del layer_ref  # consumed by the index maps
+    _qmm_kernel(x_ref, w_ref.at[0], s_ref.at[0], out_ref, acc_ref, n_k=n_k)
+
+
+def int8_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
+    """y = x @ dequant(w[layer]): w (L, K, N) int8 LAYER-STACKED, scale
+    (L, N) f32, layer a traced scalar. The layer index rides the kernel's
+    BlockSpec index_map (scalar prefetch), so NO per-layer weight slice is
+    ever materialized — the XLA dynamic-slice copies fed ~0.7 ms/step of
+    pure weight-copy traffic into the decode scan (round-3 trace)."""
+    T, K = x.shape
+    L, _, N = w.shape
+    bk = _pick_tile(K, (512, 256, 128))
+    bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
+    if not bk or not bn or T % 8:
+        wl = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        sl = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
+        y = jnp.dot(x, wl.astype(x.dtype), preferred_element_type=jnp.float32)
+        return (y * sl).astype(x.dtype)
+    kernel = _build_stacked(L, T, K, N, bk, bn, jnp.dtype(x.dtype).name,
+                            jnp.dtype(x.dtype).name, interpret)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    return kernel(layer, x, w, scale.reshape(L, 1, N))
+
+
 def int4_matmul(x, w, scale, *, interpret: bool = False):
     """y = x @ dequant(w): w (K/2, N) packed int4, scale (K/g, N) f32.
 
@@ -175,6 +229,81 @@ def int4_matmul(x, w, scale, *, interpret: bool = False):
                      interpret)
     # x split into the lo/hi column halves matching the nibble packing.
     return kernel(x[:, : K // 2], x[:, K // 2:], w, scale)
+
+
+def _qmm4_stacked_kernel(layer_ref, xlo_ref, xhi_ref, w_ref, s_ref, out_ref,
+                         acc_ref, *, n_k: int, g: int, n_groups: int):
+    del layer_ref
+    _qmm4_kernel(xlo_ref, xhi_ref, w_ref.at[0], s_ref.at[0], out_ref,
+                 acc_ref, n_k=n_k, g=g, n_groups=n_groups)
+
+
+@functools.lru_cache(maxsize=128)
+def _build4_stacked(L, T, K2, N, G, bk, bn, g, x_dtype, interpret):
+    n_k = K2 // bk
+    return pl.pallas_call(
+        functools.partial(_qmm4_stacked_kernel, n_k=n_k, g=g, n_groups=G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pl.cdiv(N, bn), n_k),
+            in_specs=[
+                pl.BlockSpec((T, bk), lambda n, k, l: (0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, bk), lambda n, k, l: (0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, bn), lambda n, k, l: (l[0], k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, bn), lambda n, k, l: (l[0], 0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T, bn), lambda n, k, l: (0, n),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((T, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, N), x_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )
+
+
+def int4_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
+    """Layer-stacked packed-int4 matmul: w (L, K/2, N), scale (L, K/g, N),
+    layer a traced scalar riding the index maps (no per-layer slice)."""
+    T, K = x.shape
+    L, K2, N = w.shape
+    assert K == 2 * K2, (K, K2)
+    G = scale.shape[1]
+    g = K // G
+    bk = _pick_tile(K2, (512, 256, 128))
+    bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
+
+    def vmem(bk_, bn_):
+        return (2 * (2 * T * bk_ * x.dtype.itemsize + bk_ * bn_
+                     + G * bn_ * 4)
+                + T * bn_ * 4 + T * bn_ * x.dtype.itemsize)
+
+    while bk and bn and vmem(bk, bn) > 12 * 2**20:
+        if bk >= bn and bk > 128 and (bk // 2) % max(g, 1) == 0:
+            bk //= 2
+        elif bn > 128:
+            bn //= 2
+        else:
+            break
+    ok = (bk and bn and T % 8 == 0 and g <= bk and bk % g == 0
+          and (K // 2) % g == 0 and vmem(bk, bn) <= 14 * 2**20)
+    if not ok:
+        from nanovllm_tpu.ops.quant import unpack_int4
+
+        wl = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        sl = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
+        wf = unpack_int4(wl, sl)
+        return jnp.dot(x, wf.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    kernel = _build4_stacked(L, T, K2, N, G, bk, bn, g,
+                             jnp.dtype(x.dtype).name, interpret)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    return kernel(layer, x[:, : K // 2], x[:, K // 2:], w, scale)
 
 
 def int8_matmul(x, w, scale, *, interpret: bool = False):

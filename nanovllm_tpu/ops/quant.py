@@ -97,27 +97,42 @@ def quantize_weight(w, axis: int = -2, eps: float = 1e-8):
     return q.astype(jnp.int8), scale
 
 
-def quant_matmul(x, w, scale=None):
+def quant_matmul(x, w, scale=None, layer=None):
     """y = x @ w with a fused dequant epilogue (int8 or packed int4).
 
     int4 is detected by the scale rank: per-group scales are (.., K/g, N)
-    (2-D for an unstacked weight) vs int8's per-channel (.., N). On TPU
-    both paths are Pallas kernels that convert weight tiles in VMEM
-    (ops/pallas/quant_matmul.py) — weight HBM traffic halves (int8) or
-    quarters (int4). Elsewhere (CPU tests) they fall back to XLA
-    dequant-then-dot, numerically identical."""
-    if scale is None:
-        return x @ w
+    vs int8's per-channel (.., N). On TPU both paths are Pallas kernels
+    that convert weight tiles in VMEM (ops/pallas/quant_matmul.py) —
+    weight HBM traffic halves (int8) or quarters (int4). Elsewhere (CPU
+    tests) they fall back to XLA dequant-then-dot, numerically identical.
+
+    layer (traced scalar) + a LAYER-STACKED w selects the layer inside the
+    kernel's index maps — no per-layer weight slice is materialized (the
+    XLA dynamic-slice copies cost ~0.7 ms/step in the decode scan)."""
     import jax
+
+    stacked = layer is not None
+    if scale is None:
+        if stacked:
+            w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        return x @ w
 
     int4 = scale.ndim == w.ndim  # group axis present
     if jax.default_backend() == "tpu" and x.ndim == 2:
-        from nanovllm_tpu.ops.pallas.quant_matmul import (int4_matmul,
-                                                          int8_matmul)
+        from nanovllm_tpu.ops.pallas.quant_matmul import (
+            int4_matmul, int4_matmul_stacked, int8_matmul,
+            int8_matmul_stacked)
 
+        if stacked:
+            if int4:
+                return int4_matmul_stacked(x, w, scale, layer)
+            return int8_matmul_stacked(x, w, scale, layer)
         if int4:
             return int4_matmul(x, w, scale)
         return int8_matmul(x, w, scale)
+    if stacked:
+        w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        scale = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
     if int4:
         wf = unpack_int4(w, scale)
         return jnp.dot(x, wf.astype(x.dtype),
