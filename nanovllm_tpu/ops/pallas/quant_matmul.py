@@ -49,6 +49,17 @@ def _pick_tile(dim: int, candidates) -> int:
     return 0
 
 
+def _pick_k_tile(K: int, cap: int = 512) -> int:
+    """Largest 8-aligned divisor of K up to `cap` — the K axis cannot be
+    cdiv-padded (out-of-bounds reads would pollute the accumulation), and
+    power-of-two-only candidates degraded awkward hidden sizes (Qwen2's
+    K=896 fell to bk=128; 448 divides it)."""
+    for bk in range(min(cap, K) // 8 * 8, 0, -8):
+        if K % bk == 0:
+            return bk
+    return 0
+
+
 @functools.lru_cache(maxsize=128)
 def _build(T, K, N, bk, bn, x_dtype, out_dtype, interpret):
     n_k = K // bk
@@ -175,7 +186,7 @@ def int8_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
     pure weight-copy traffic into the decode scan (round-3 trace)."""
     T, K = x.shape
     L, _, N = w.shape
-    bk = _pick_tile(K, (512, 256, 128))
+    bk = _pick_k_tile(K)
     bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
     if not bk or not bn or T % 8:
         wl = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
@@ -200,7 +211,7 @@ def int4_matmul(x, w, scale, *, interpret: bool = False):
     assert K == 2 * K2, (K, K2)
     G = scale.shape[0]          # number of groups over K
     g = K // G
-    bk = _pick_tile(K2, (512, 256, 128))
+    bk = _pick_k_tile(K2)
     bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
     # VMEM budget: two x blocks + w + scales are double-buffered by the grid
     # pipeline; the f32 accumulator and the out block are resident. Shrink
@@ -275,7 +286,7 @@ def int4_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
     assert K == 2 * K2, (K, K2)
     G = scale.shape[1]
     g = K // G
-    bk = _pick_tile(K2, (512, 256, 128))
+    bk = _pick_k_tile(K2)
     bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
 
     def vmem(bk_, bn_):
@@ -316,7 +327,7 @@ def int8_matmul(x, w, scale, *, interpret: bool = False):
     N = w.shape[1]
     # MXU-friendly tiles; K tile bigger than N tile so weight DMAs are
     # large. The N grid is cdiv so any N >= 512 gets full-width tiles.
-    bk = _pick_tile(K, (512, 256, 128))
+    bk = _pick_k_tile(K)
     bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
     if not bk or not bn or T % 8:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)

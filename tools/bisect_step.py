@@ -17,6 +17,7 @@ sys.path.insert(0, ".")
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--family", default="qwen3-0.6b")
     p.add_argument("--kv-dtype", default="int8")
     p.add_argument("--quantization", default=None)
     p.add_argument("--ctx", type=int, default=1024)
@@ -26,11 +27,12 @@ def main():
 
     import jax
 
-    from bench_model import qwen3_0_6b_config
+    import bench_model
+    from bench import FAMILIES
     from nanovllm_tpu.config import Config
     from nanovllm_tpu.engine.model_runner import ModelRunner, _fake_batch
 
-    cfg = Config(model=qwen3_0_6b_config(), max_num_seqs=args.max_num_seqs,
+    cfg = Config(model=FAMILIES[args.family](), max_num_seqs=args.max_num_seqs,
                  max_model_len=2048, max_num_batched_tokens=4096,
                  kv_cache_dtype=args.kv_dtype, quantization=args.quantization)
     runner = ModelRunner(cfg)
