@@ -7,10 +7,7 @@ with the stacked (L, NB, bs, KVH, hd) caches.
 
 from __future__ import annotations
 
-import os
-
-from nanovllm_tpu.ops.pallas.decode_attention import paged_decode_attention as _decode_v3
-from nanovllm_tpu.ops.pallas.decode_attention_v4 import paged_decode_attention_v4 as _decode_v4
+from nanovllm_tpu.ops.pallas.decode_attention import paged_decode_attention
 from nanovllm_tpu.ops.pallas.prefill_attention import ragged_prefill_attention
 
 
@@ -39,9 +36,6 @@ def get_attention_fns(config, interpret: bool | None = None):
             f"pallas kernels need local kv_heads*head_dim % 128 == 0 "
             f"(got {local_kvh}*{hd} at tp={tp})")
     cq = config.prefill_chunk
-    paged_decode_attention = (
-        _decode_v4 if os.environ.get("NANOVLLM_DECODE_KERNEL") == "v4"
-        else _decode_v3)
 
     def prefill(q, cache, meta, scale, layer=None):
         C = q.shape[0] // cq

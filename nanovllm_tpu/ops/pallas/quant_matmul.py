@@ -50,13 +50,17 @@ def _pick_tile(dim: int, candidates) -> int:
 
 
 def _pick_k_tile(K: int, cap: int = 512) -> int:
-    """Largest 8-aligned divisor of K up to `cap` — the K axis cannot be
-    cdiv-padded (out-of-bounds reads would pollute the accumulation), and
-    power-of-two-only candidates degraded awkward hidden sizes (Qwen2's
-    K=896 fell to bk=128; 448 divides it)."""
-    for bk in range(min(cap, K) // 8 * 8, 0, -8):
+    """Largest 128-multiple divisor of K up to `cap` — Mosaic requires the
+    lane-dim block be a 128 multiple OR the whole axis, and the K axis
+    cannot be cdiv-padded (out-of-bounds reads would pollute the
+    accumulation). Whole-axis fallback covers K with no 128-multiple
+    divisor. (A prior 8-aligned version picked 448 for Qwen2's K=896,
+    which Mosaic refuses to lower.)"""
+    for bk in range(min(cap, K) // 128 * 128, 0, -128):
         if K % bk == 0:
             return bk
+    if K % 8 == 0 and K <= 4096:
+        return K
     return 0
 
 
@@ -229,7 +233,8 @@ def int4_matmul(x, w, scale, *, interpret: bool = False):
         else:
             break
     ok = (bk and bn and T % 8 == 0 and g <= bk and bk % g == 0
-          and (K // 2) % g == 0 and vmem(bk, bn) <= 14 * 2**20)
+          and (K // 2) % g == 0 and vmem(bk, bn) <= 14 * 2**20
+          and (bk % 128 == 0 or bk == K2))
     if not ok:
         from nanovllm_tpu.ops.quant import unpack_int4
 
@@ -302,7 +307,8 @@ def int4_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
         else:
             break
     ok = (bk and bn and T % 8 == 0 and g <= bk and bk % g == 0
-          and (K // 2) % g == 0 and vmem(bk, bn) <= 14 * 2**20)
+          and (K // 2) % g == 0 and vmem(bk, bn) <= 14 * 2**20
+          and (bk % 128 == 0 or bk == K2))
     if not ok:
         from nanovllm_tpu.ops.quant import unpack_int4
 

@@ -64,6 +64,20 @@ def test_quantize_params_structure():
     assert qp["embed"].dtype == jnp.float32  # embeddings stay high precision
 
 
+def test_pick_k_tile_mosaic_legal():
+    # Regression: Mosaic requires the K block be a 128-multiple divisor of K
+    # or the whole axis. A prior 8-aligned picker chose 448 for Qwen2's
+    # K=896 and the kernel refused to lower on TPU (round-4 fix).
+    from nanovllm_tpu.ops.pallas.quant_matmul import _pick_k_tile
+
+    for K in (128, 256, 448, 512, 896, 1024, 2048, 3072, 4864, 6144, 8192,
+              151936, 1000):
+        bk = _pick_k_tile(K)
+        assert bk == 0 or (K % bk == 0 and (bk % 128 == 0 or bk == K)), (K, bk)
+    assert _pick_k_tile(896) in (128, 896)
+    assert _pick_k_tile(1024) == 512
+
+
 def test_pallas_int8_matmul_matches_xla_path():
     # Interpreter-mode check of the fused dequant kernel against the plain
     # XLA dequant-then-dot (identical math, different data movement).

@@ -3,8 +3,8 @@
 Times `layers` back-to-back kernel invocations (as the per-layer scan does)
 for several context lengths and reports effective KV bandwidth against the
 chip's ~800 GiB/s. Usage:
-    python tools/bench_decode_kernel.py --kernel v3 --dtype bf16
-    python tools/bench_decode_kernel.py --kernel v4 --dtype int8
+    python tools/bench_decode_kernel.py --dtype bf16
+    python tools/bench_decode_kernel.py --dtype int8
 """
 
 import argparse
@@ -27,7 +27,6 @@ def main():
     p.add_argument("--blocks", type=int, default=360)
     p.add_argument("--ctxs", default="256,1024,2048")
     p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--kernel", default="v3", choices=["v3", "v4"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
     p.add_argument("--pages-per-iter", type=int, default=2)
     p.add_argument("--n-buf", type=int, default=2)
@@ -39,11 +38,8 @@ def main():
 
     from nanovllm_tpu.ops.attention import KVCache
     from nanovllm_tpu.ops.pallas.decode_attention import paged_decode_attention
-    from nanovllm_tpu.ops.pallas.decode_attention_v4 import \
-        paged_decode_attention_v4
 
-    attn = paged_decode_attention if args.kernel == "v3" \
-        else paged_decode_attention_v4
+    attn = paged_decode_attention
 
     S, bs, kvh, hd = args.S, args.bs, args.kvh, args.hd
     QH = kvh * args.group
@@ -69,7 +65,7 @@ def main():
         out = q
         for i in range(args.layers):
             kw = {"pages_per_iter": args.pages_per_iter, "n_buf": args.n_buf,
-                  "seq_group": args.seq_group} if args.kernel == "v3" else {}
+                  "seq_group": args.seq_group}
             out = attn(out, cache, tables, ctx, i % L, scale=hd ** -0.5, **kw)
         return out
 
@@ -92,7 +88,7 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         bytes_moved = 2 * args.layers * S * npages * bs * kvh * hd * itemsize
         per_iter = dt / (args.layers * S * max(npages // 2, 1)) * 1e6
-        print(f"[{args.kernel}/{args.dtype}] ctx={ctx_len}: {dt*1e3:.2f} ms "
+        print(f"[{args.dtype}] ctx={ctx_len}: {dt*1e3:.2f} ms "
               f"for {args.layers} layers -> {bytes_moved/dt/2**30:.0f} GiB/s, "
               f"{per_iter:.1f} us/page-pair-iter", flush=True)
 
