@@ -94,9 +94,19 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
             start = jnp.where(hit, cum[i], start)
         return sg, t - start
 
+    # Split K/V copies let the score matmul start while the V half is still
+    # in flight — a win for big pages (Qwen3: 512 KiB). For small pages
+    # (Qwen2-0.5B: 64 KiB) the extra DMA issue/wait overhead outweighs the
+    # overlap: fuse the planes into ONE whole-page copy and make plane 1's
+    # wait a no-op.
+    page_bytes = 2 * bs * row_dim * (1 if quantized else 2)
+    split_kv = page_bytes >= (1 << 18)
+
     def page_dmas(t, slot, do_start, plane):
         """plane 0: a page's K rows (+ its fused scale page); plane 1: its
-        V rows — split copies so scores start as soon as K lands."""
+        V rows — or, for small pages, one whole-page copy on plane 0."""
+        if plane == 1 and not split_kv:
+            return
         sg, it = locate(t)
         seq = base_seq + sg
         npages = pl.cdiv(ctx_ref[seq], bs)
@@ -108,9 +118,10 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
             def _():
                 page = tables_ref[seq, j]
                 if plane == 0:
+                    kv_rows = slice(None, bs) if split_kv else slice(None)
                     copies = [pltpu.make_async_copy(
-                        kv_hbm.at[layer, page, :bs],
-                        kv_buf.at[slot, p, :bs], sems.at[0, slot, p])]
+                        kv_hbm.at[layer, page, kv_rows],
+                        kv_buf.at[slot, p, kv_rows], sems.at[0, slot, p])]
                     if quantized:
                         copies.append(pltpu.make_async_copy(
                             sc_hbm.at[layer, page], sc_buf.at[slot, p],
@@ -196,12 +207,19 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
             v_flat = v_flat.astype(jnp.bfloat16)
             # Re-mask AFTER the v-scale multiply: columns past the context
             # carry never-DMA'd scale garbage, and 0 * NaN = NaN would
-            # poison the accumulator.
+            # poison the accumulator. int8 V rows need NO row mask: any int8
+            # bit pattern converts to a FINITE bf16, and p_ is exactly 0 at
+            # dead columns — the row mask was a full VPU pass over the
+            # biggest tile in the loop (~1/3 of the per-iteration floor at
+            # Qwen2 geometry).
             p_ = jnp.where(live, p_ * scale_mat(slot, 1), 0.0)
-        # Rows past the context come from never-DMAed buffer slots; zero them
-        # so 0 * garbage (possibly NaN) cannot poison the accumulator.
-        live_rows = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) < rem
-        v_flat = jnp.where(live_rows, v_flat, jnp.zeros((), v_flat.dtype))
+        else:
+            # bf16 rows past the context come from never-DMAed buffer slots;
+            # zero them so 0 * garbage (possibly NaN) cannot poison the
+            # accumulator.
+            live_rows = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) < rem
+            v_flat = jnp.where(live_rows, v_flat,
+                               jnp.zeros((), v_flat.dtype))
         pv = jax.lax.dot_general(
             p_.astype(v_flat.dtype), v_flat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (QH, KVH*hd)
