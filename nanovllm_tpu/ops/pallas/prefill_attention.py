@@ -63,18 +63,66 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
     def _():
         page_dmas(0, 0, True)
 
-    # Token r of a G-stacked (group*cq, ...) tile sits at absolute position
-    # pos0 + (r % cq): the G query heads of one kv head are stacked on the
-    # sublane axis so the MXU sees one (G*CQ, hd) x (hd, bs) dot per kv head
-    # instead of G separate (CQ, hd) dots — half the loop iterations and
-    # twice the tile height at GQA group 2. Mosaic cannot lower the stacked
-    # form's sliced output store for sub-lane-tile head dims (hd % 128 != 0:
-    # "unsupported shape cast"), so tiny-model shapes keep G = 1 groups of
-    # the per-head layout (eff_group below; identical math).
-    eff_group = group if hd % 128 == 0 else 1
-    n_tiles = kvh * (group // eff_group)
-    gq = eff_group * cq
-    row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (gq, 1), 0) % cq
+    # MXU tiling (round-4 shape): tile t covers FOLD adjacent kv heads —
+    # their G query heads each — as one (FOLD*G*CQ, FOLD*hd) block-diagonal
+    # query against the page's contiguous (bs, FOLD*hd) K columns. Row
+    # r = (fi*G + g)*CQ + c holds query head (t*FOLD + fi)*G + g, token c,
+    # with its hd values at column block fi — zeros elsewhere make the
+    # score dot exact (same trick as the decode kernel's full block-diag).
+    # FOLD = 128/hd lifts sub-lane head dims to full 128-lane MXU tiles:
+    # hd=64 models previously fell to G=1 per-head (CQ, 64) dots — 14
+    # (Qwen2) / 32 (Llama) tiny dots per page; now 1 / 4 full tiles.
+    # hd % 128 == 0 keeps FOLD=1 (the existing G-stacked layout).
+    if hd % 128 == 0:
+        fold, eff_group = 1, group
+    elif 128 % hd == 0 and kvh % (128 // hd) == 0:
+        fold, eff_group = 128 // hd, group
+    else:
+        # odd toy shapes: per-head fallback (Mosaic cannot lower sub-lane
+        # column slicing of the fold assembly for these)
+        fold, eff_group = 1, 1
+    n_tiles = (kvh // fold) * (group // eff_group)
+    R = fold * eff_group * cq                   # tile rows
+    fhd = fold * hd                             # tile cols
+    row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % cq
+
+    def tile_heads(t):
+        """[(row block index, query head, column block fi)] for tile t."""
+        kb = t // (group // eff_group)
+        g0 = (t % (group // eff_group)) * eff_group
+        out = []
+        for fi in range(fold):
+            for g in range(eff_group):
+                out.append((fi * eff_group + g,
+                            (kb * fold + fi) * group + g0 + g, fi))
+        return out, kb
+
+    def build_q(t):
+        """(R, fold*hd) block-diagonal query tile, built once per program."""
+        heads, _ = tile_heads(t)
+        blocks = []
+        for _, h, fi in heads:
+            qh = q_ref[:, h, :]                          # (cq, hd)
+            if fold > 1:
+                pads = [jnp.zeros((cq, hd), qh.dtype)] * fi + [qh] + \
+                       [jnp.zeros((cq, hd), qh.dtype)] * (fold - 1 - fi)
+                qh = jnp.concatenate(pads, axis=1)       # (cq, fold*hd)
+            blocks.append(qh)
+        return jnp.concatenate(blocks, axis=0)           # (R, fold*hd)
+
+    q_tiles = [build_q(t) for t in range(n_tiles)]
+
+    def sc_rows(slot, t, plane):
+        """(R, bs) scale rows for tile t: row block fi uses kv head
+        kb*fold + fi (+kvh for the V plane)."""
+        _, kb = tile_heads(t)
+        base = plane * kvh + kb * fold
+        if fold == 1:
+            return sc_buf[slot, base:base + 1, :]        # (1, bs) bcast
+        return jnp.concatenate(
+            [jnp.broadcast_to(sc_buf[slot, base + fi:base + fi + 1, :],
+                              (eff_group * cq, bs)) for fi in range(fold)],
+            axis=0)
 
     def body(j, carry):
         ms, ls, accs = carry
@@ -87,24 +135,22 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
         page_dmas(slot, j, False)
 
         kv_pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        live = (kv_pos <= row_pos) & (kv_pos < ctx)       # (G*CQ, bs)
+        live = (kv_pos <= row_pos) & (kv_pos < ctx)       # (R, bs)
         ms2, ls2, accs2 = [], [], []
         for t in range(n_tiles):
-            h = t // (group // eff_group)
-            g0 = (t % (group // eff_group)) * eff_group
-            q_h = jnp.concatenate(
-                [q_ref[:, h * group + g0 + g, :] for g in range(eff_group)],
-                axis=0)
-            k_h = kv_buf[slot, :bs, h * hd:(h + 1) * hd]  # (bs, hd) col slice
-            v_h = kv_buf[slot, bs:, h * hd:(h + 1) * hd]
+            _, kb = tile_heads(t)
+            h0 = kb * fold if fold > 1 else t // (group // eff_group)
+            cols = slice(h0 * hd, h0 * hd + fhd)
+            k_h = kv_buf[slot, :bs, cols]                 # (bs, fold*hd)
+            v_h = kv_buf[slot, bs:, cols]
             if quantized:
                 k_h = k_h.astype(jnp.bfloat16)
                 v_h = v_h.astype(jnp.bfloat16)
             s = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale   # (G*CQ, bs)
+                q_tiles[t], k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # (R, bs)
             if quantized:
-                s = s * sc_buf[slot, h:h + 1, :]              # (1, bs) bcast
+                s = s * sc_rows(slot, t, 0)
             s = jnp.where(live, s, NEG_INF)
             m_new = jnp.maximum(ms[t], jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -114,32 +160,31 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
             # V matmul only.
             ls2.append(ls[t] * corr + jnp.sum(p, axis=-1, keepdims=True))
             if quantized:
-                p = p * sc_buf[slot, kvh + h:kvh + h + 1, :]
+                p = p * sc_rows(slot, t, 1)
             pv = jax.lax.dot_general(
                 p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (G*CQ, hd)
+                preferred_element_type=jnp.float32)       # (R, fold*hd)
             ms2.append(m_new)
             accs2.append(accs[t] * corr + pv)
         return tuple(ms2), tuple(ls2), tuple(accs2)
 
-    init = (tuple(jnp.full((gq, 1), NEG_INF, jnp.float32)
+    init = (tuple(jnp.full((R, 1), NEG_INF, jnp.float32)
                   for _ in range(n_tiles)),
-            tuple(jnp.zeros((gq, 1), jnp.float32) for _ in range(n_tiles)),
-            tuple(jnp.zeros((gq, hd), jnp.float32) for _ in range(n_tiles)))
+            tuple(jnp.zeros((R, 1), jnp.float32) for _ in range(n_tiles)),
+            tuple(jnp.zeros((R, fhd), jnp.float32) for _ in range(n_tiles)))
     ms, ls, accs = jax.lax.fori_loop(0, npages, body, init)
 
     # Assemble ONE full-lane (CQ, QH*hd) store: per-head stores into the
     # 3-D (cq, 1, hd) window are an "unsupported shape cast" in Mosaic for
     # hd % 128 != 0 (Qwen2-0.5B's hd=64); lane-concatenating the per-head
     # tiles and writing the flattened block is layout-clean for any hd.
-    pieces = [None] * (n_tiles * eff_group)
+    pieces = [None] * (n_tiles * fold * eff_group)
     for t in range(n_tiles):
-        h = t // (group // eff_group)
-        g0 = (t % (group // eff_group)) * eff_group
+        heads, _ = tile_heads(t)
         safe_l = jnp.where(ls[t] > 0.0, ls[t], 1.0)
-        o = (accs[t] / safe_l).astype(out_ref.dtype)      # (G*CQ, hd)
-        for g in range(eff_group):
-            pieces[h * group + g0 + g] = o[g * cq:(g + 1) * cq]
+        o = (accs[t] / safe_l).astype(out_ref.dtype)      # (R, fold*hd)
+        for rb, h, fi in heads:
+            pieces[h] = o[rb * cq:(rb + 1) * cq, fi * hd:(fi + 1) * hd]
     out_ref[...] = jnp.concatenate(pieces, axis=1)
 
 

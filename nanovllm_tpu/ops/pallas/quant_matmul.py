@@ -64,6 +64,20 @@ def _pick_k_tile(K: int, cap: int = 512) -> int:
     return 0
 
 
+def _pick_k_tile_int8(K: int, T: int, bn: int) -> int:
+    """int8 K tile: the WHOLE axis when the tiles fit VMEM — decode-size
+    matmuls are per-call-overhead-bound, and one sequential K step with
+    maximal weight DMAs measured 30% faster than bk=128/512 chains at
+    Qwen2 geometry (round-4 bench_qmm: 3.84 -> 2.68 ms for the 24-layer
+    4-matmul chain). Falls back to the tiled pick when whole-K would not
+    fit the ~12 MiB scoped VMEM budget."""
+    if K % 8 == 0:
+        vmem = 2 * (K * bn) + T * K * 2 + T * bn * 4 + T * bn * 2
+        if vmem <= 12 * 2**20:
+            return K
+    return _pick_k_tile(K)
+
+
 @functools.lru_cache(maxsize=128)
 def _build(T, K, N, bk, bn, x_dtype, out_dtype, interpret):
     n_k = K // bk
@@ -190,8 +204,8 @@ def int8_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
     pure weight-copy traffic into the decode scan (round-3 trace)."""
     T, K = x.shape
     L, _, N = w.shape
-    bk = _pick_k_tile(K)
     bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
+    bk = _pick_k_tile_int8(K, T, bn) if bn else 0
     if not bk or not bn or T % 8:
         wl = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         sl = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
@@ -333,8 +347,8 @@ def int8_matmul(x, w, scale, *, interpret: bool = False):
     N = w.shape[1]
     # MXU-friendly tiles; K tile bigger than N tile so weight DMAs are
     # large. The N grid is cdiv so any N >= 512 gets full-width tiles.
-    bk = _pick_k_tile(K)
     bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
+    bk = _pick_k_tile_int8(K, T, bn) if bn else 0
     if not bk or not bn or T % 8:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
         return (y * scale).astype(x.dtype)

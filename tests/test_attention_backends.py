@@ -25,15 +25,16 @@ QH = KVH * G
 CHUNK = 8
 
 
-def build_case(seed, ctx_lens, q_lens):
+def build_case(seed, ctx_lens, q_lens, kvh=KVH, group=G, hd=HD):
     """Random paged cache + chunk-aligned query batch.
 
     ctx_lens[i]: total kv length of slot i; q_lens[i]: query suffix length
     (queries occupy positions [ctx-q, ctx))."""
+    qh = kvh * group
     rng = np.random.default_rng(seed)
     nblocks = S * MAXB + 1
-    k_cache = rng.standard_normal((nblocks, BS, KVH * HD), dtype=np.float32)
-    v_cache = rng.standard_normal((nblocks, BS, KVH * HD), dtype=np.float32)
+    k_cache = rng.standard_normal((nblocks, BS, kvh * hd), dtype=np.float32)
+    v_cache = rng.standard_normal((nblocks, BS, kvh * hd), dtype=np.float32)
 
     block_tables = np.zeros((S, MAXB), np.int32)
     next_page = 1  # page 0 stays a shared scratch page
@@ -55,7 +56,7 @@ def build_case(seed, ctx_lens, q_lens):
         chunk_seg[t // CHUNK: (t + a) // CHUNK] = i
         t += a
 
-    q = rng.standard_normal((T, QH, HD), dtype=np.float32)
+    q = rng.standard_normal((T, qh, hd), dtype=np.float32)
     meta = AttnMeta(
         seg_ids=jnp.asarray(seg_ids), positions=jnp.asarray(positions),
         slot_mapping=jnp.zeros(T, jnp.int32),
@@ -184,6 +185,38 @@ def test_pallas_prefill_kernel_matches_reference():
     out = ragged_prefill_attention(
         q, lcache, meta.chunk_seg, chunk_pos,
         meta.block_tables, meta.context_lens, 1, cq=CHUNK, scale=HD ** -0.5,
+        interpret=True)
+    keep = real_rows_for(q_lens)
+    np.testing.assert_allclose(np.asarray(out)[keep], np.asarray(ref)[keep],
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kvh,group,hd", [
+    (2, 7, 64),   # Qwen2-0.5B geometry: fold=2, one tile
+    (4, 4, 64),   # Llama-3.2 local shard geometry: fold=2, two tiles
+])
+def test_pallas_prefill_kernel_fold_geometry(kvh, group, hd):
+    """The round-4 FOLD tiling (128/hd kv heads per MXU tile) must match
+    the reference exactly at the hd=64 geometries it was built for."""
+    from nanovllm_tpu.ops.pallas.prefill_attention import ragged_prefill_attention
+
+    ctx_lens = (37, 50, 12, 80)
+    q_lens = (5, 17, 12, 33)
+    q, cache, meta = build_case(21, ctx_lens, q_lens, kvh=kvh, group=group,
+                                hd=hd)
+    pos = np.asarray(meta.positions).copy()
+    t = 0
+    for i, (ctx, ql) in enumerate(zip(ctx_lens, q_lens)):
+        a = -(-ql // CHUNK) * CHUNK
+        pos[t: t + a] = np.arange(ctx - ql, ctx - ql + a)
+        t += a
+    C = len(pos) // CHUNK
+    chunk_pos = jnp.asarray(pos.reshape(C, CHUNK)[:, 0])
+    lcache = KVCache.build(_layered(cache.k), _layered(cache.v))
+    ref = ragged_attention_reference(q, lcache, meta, hd ** -0.5, layer=1)
+    out = ragged_prefill_attention(
+        q, lcache, meta.chunk_seg, chunk_pos,
+        meta.block_tables, meta.context_lens, 1, cq=CHUNK, scale=hd ** -0.5,
         interpret=True)
     keep = real_rows_for(q_lens)
     np.testing.assert_allclose(np.asarray(out)[keep], np.asarray(ref)[keep],
