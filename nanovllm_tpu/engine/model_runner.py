@@ -35,6 +35,8 @@ logger = logging.getLogger(__name__)
 _DTYPES = {"auto": jnp.bfloat16, "bfloat16": jnp.bfloat16, "float32": jnp.float32,
            "int8": jnp.int8}
 
+_STEP_STATICS = ("phase", "T", "S", "C", "gather", "filtered_sampling")
+
 _HBM_BYTES = {
     "TPU v4": 32 * 2**30,
     "TPU v5 lite": 16 * 2**30,
@@ -145,7 +147,7 @@ class ModelRunner:
             self._jit_step = self._build_sharded_step()
         else:
             self._jit_step = jax.jit(
-                self._step, static_argnames=("phase", "filtered_sampling"),
+                self._step, static_argnames=_STEP_STATICS,
                 donate_argnums=(1,))
         self._step_counter = 0
 
@@ -173,19 +175,18 @@ class ModelRunner:
 
         rep = P()
 
-        def sharded(params, cache, dev, step_idx, *, phase,
-                    filtered_sampling):
-            fn = partial(self._step, phase=phase,
-                         filtered_sampling=filtered_sampling)
+        def sharded(params, cache, flat, prev_tokens, extras, *, phase,
+                    T, S, C, gather="none", filtered_sampling=False):
+            fn = partial(self._step, phase=phase, T=T, S=S, C=C,
+                         gather=gather, filtered_sampling=filtered_sampling)
             return jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(self._param_pspecs, self._kv_pspecs, rep, rep),
+                in_specs=(self._param_pspecs, self._kv_pspecs, rep, rep, rep),
                 out_specs=(self._kv_pspecs, rep),
                 check_vma=False,
-            )(params, cache, dev, step_idx)
+            )(params, cache, flat, prev_tokens, extras)
 
-        return jax.jit(sharded,
-                       static_argnames=("phase", "filtered_sampling"),
+        return jax.jit(sharded, static_argnames=_STEP_STATICS,
                        donate_argnums=(1,))
 
     # -- setup ------------------------------------------------------------
@@ -310,8 +311,51 @@ class ModelRunner:
 
         return fn
 
-    def _step(self, params, cache, dev, step_idx, *, phase,
-              filtered_sampling=False):
+    def _unpack(self, flat, *, T, S, C, phase, gather, filtered):
+        """Split the single packed int32 batch array back into named fields.
+
+        ONE H2D argument instead of ~10: this runtime's dispatch cost is
+        ~0.5 ms PER ARGUMENT (tools/bench_dispatch.py: 10 args 5.76 ms vs
+        1 packed arg 1.31 ms), which was ~30%% of the Qwen2 decode step.
+        All offsets are static (shapes are jit constants)."""
+        B = self.config.blocks_per_seq
+        off = 0
+
+        def take(n):
+            nonlocal off
+            a = flat[off: off + n]
+            off += n
+            return a
+
+        dev = {
+            "input_ids": take(T),
+            "seg_ids": take(T),
+            "positions": take(T),
+            "slot_mapping": take(T),
+            "context_lens": take(S),
+            "last_token_idx": take(S),
+            "temperatures": jax.lax.bitcast_convert_type(take(S), jnp.float32),
+            "chunk_seg": take(C),
+            "num_seqs": take(1)[0],
+            "block_tables": take(S * B).reshape(S, B),
+        }
+        if phase == "mixed":
+            dev["decode_ctx"] = take(S)
+        if gather == "hybrid":
+            dev["gather_idx"] = take(T)
+        elif gather == "pure":
+            dev["gather_idx"] = take(S)
+        if filtered:
+            dev["top_k"] = take(S)
+            dev["top_p"] = jax.lax.bitcast_convert_type(take(S), jnp.float32)
+        dev["step_idx"] = jax.lax.bitcast_convert_type(take(1), jnp.uint32)[0]
+        return dev
+
+    def _step(self, params, cache, flat, prev_tokens, extras, *, phase,
+              T, S, C, gather="none", filtered_sampling=False):
+        dev = self._unpack(flat, T=T, S=S, C=C, phase=phase, gather=gather,
+                           filtered=filtered_sampling)
+        step_idx = dev.pop("step_idx")
         meta = attn_ops.AttnMeta(
             seg_ids=dev["seg_ids"], positions=dev["positions"],
             slot_mapping=dev["slot_mapping"], block_tables=dev["block_tables"],
@@ -319,16 +363,17 @@ class ModelRunner:
             chunk_seg=dev["chunk_seg"], num_seqs=dev["num_seqs"],
             decode_context_lens=dev.get("decode_ctx"))
         attn_fn = self._store_attn_fn(phase)
-        if "prev_tokens" in dev:
+        if extras is not None:
+            dev["extras"] = extras
+        if prev_tokens is not None:
             # Async chain: inputs that depend on the in-flight step's samples
             # are gathered from its device token array. Pure-decode chains
             # replace ALL inputs; hybrid (mixed/prefill-ahead) chains gather
             # only the virtual decode rows (gather_idx >= 0) and keep host
             # ids (prompt tokens) elsewhere.
-            dev = dict(dev)
-            prev = dev.pop("prev_tokens")
+            prev = prev_tokens
             gidx = dev.pop("gather_idx")
-            if "input_ids" in dev:
+            if gather == "hybrid":
                 gathered = prev[jnp.clip(gidx, 0, prev.shape[0] - 1)]
                 dev["input_ids"] = jnp.where(gidx >= 0, gathered,
                                              dev["input_ids"])
@@ -478,47 +523,51 @@ class ModelRunner:
         without a host sync. `prev_tokens` (a previous dispatch's return
         value, still on device) with `gather_idx` (host (S,) int32: this
         step's slot i takes prev slot gather_idx[i]) replaces `input_ids`
-        via an in-jit gather — the async-decode chain path."""
+        via an in-jit gather — the async-decode chain path.
+
+        ALL batch metadata packs into ONE int32 array: this runtime charges
+        ~0.5 ms of dispatch overhead PER ARGUMENT (tools/bench_dispatch.py:
+        10 args 5.76 ms vs 1 packed 1.31 ms), which dominated small-model
+        decode steps. f32 fields ride as bitcasts."""
         if extras is None and hasattr(self.adapter, "prepare_extras"):
             extras = self.adapter.prepare_extras(None, batch)
         put = self._put
-        dev = {
-            "input_ids": put(batch.input_ids),
-            "seg_ids": put(batch.seg_ids),
-            "positions": put(batch.positions),
-            "slot_mapping": put(batch.slot_mapping),
-            "block_tables": put(batch.block_tables),
-            "context_lens": put(batch.context_lens),
-            "last_token_idx": put(batch.last_token_idx),
-            "chunk_seg": put(batch.chunk_seg),
-            "temperatures": put(batch.temperatures),
-            "num_seqs": put(np.asarray(batch.num_seqs, dtype=np.int32)),
-        }
-        if batch.decode_ctx is not None:
-            dev["decode_ctx"] = put(batch.decode_ctx)
-        if extras is not None:
-            dev["extras"] = {k: put(v) for k, v in extras.items()}
+        phase = batch.phase or ("prefill" if batch.is_prefill else "decode")
+        assert (batch.decode_ctx is not None) == (phase == "mixed")
+        filtered = bool((batch.top_k[: batch.num_seqs] > 0).any()
+                        or (batch.top_p[: batch.num_seqs] < 1.0).any())
+        gather = "none"
+        parts = [
+            batch.input_ids, batch.seg_ids, batch.positions,
+            batch.slot_mapping, batch.context_lens, batch.last_token_idx,
+            batch.temperatures.view(np.int32), batch.chunk_seg,
+            np.asarray([batch.num_seqs], dtype=np.int32),
+            np.ascontiguousarray(batch.block_tables).reshape(-1),
+        ]
+        if phase == "mixed":
+            parts.append(batch.decode_ctx)
         if prev_tokens is not None:
             if batch.gather_idx is not None:
                 # Hybrid chain (mixed/prefill-ahead): host ids for prompt
                 # rows, device gather for virtual decode rows.
-                dev["prev_tokens"] = prev_tokens
-                dev["gather_idx"] = put(batch.gather_idx)
+                gather = "hybrid"
+                parts.append(batch.gather_idx)
             else:
-                del dev["input_ids"]
-                dev["prev_tokens"] = prev_tokens
-                dev["gather_idx"] = put(gather_idx)
-        filtered = bool((batch.top_k[: batch.num_seqs] > 0).any()
-                        or (batch.top_p[: batch.num_seqs] < 1.0).any())
+                gather = "pure"
+                parts.append(gather_idx)
         if filtered:
-            dev["top_k"] = put(batch.top_k)
-            dev["top_p"] = put(batch.top_p)
-        phase = batch.phase or ("prefill" if batch.is_prefill else "decode")
+            parts += [batch.top_k, batch.top_p.view(np.int32)]
         self._step_counter += 1
+        parts.append(np.asarray([self._step_counter],
+                                dtype=np.uint32).view(np.int32))
+        flat = np.concatenate(parts)
+        dev_extras = None
+        if extras is not None:
+            dev_extras = {k: put(v) for k, v in extras.items()}
         self.cache, tokens = self._jit_step(
-            self.params, self.cache, dev,
-            put(np.asarray(self._step_counter, dtype=np.uint32)),
-            phase=phase, filtered_sampling=filtered)
+            self.params, self.cache, put(flat), prev_tokens, dev_extras,
+            phase=phase, T=len(batch.input_ids), S=len(batch.context_lens),
+            C=len(batch.chunk_seg), gather=gather, filtered_sampling=filtered)
         try:
             # Enqueue the D2H copy NOW: on this runtime a blocking
             # np.asarray on a not-yet-transferred result takes a slow RPC

@@ -29,6 +29,17 @@ NEG_INF = -1e30
 N_BUF = 2
 
 
+def _fold_for(hd: int, kvh: int, group: int):
+    """(fold, eff_group) for the MXU tiling: fold = 128/hd kv heads share a
+    full-lane tile; hd % 128 == 0 keeps the plain G-stack; odd toy shapes
+    fall back to per-head tiles."""
+    if hd % 128 == 0:
+        return 1, group
+    if 128 % hd == 0 and kvh % (128 // hd) == 0:
+        return 128 // hd, group
+    return 1, 1
+
+
 def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref,
                     q_ref,                    # (CQ, QH, hd) VMEM
                     *refs,
@@ -73,14 +84,7 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
     # hd=64 models previously fell to G=1 per-head (CQ, 64) dots — 14
     # (Qwen2) / 32 (Llama) tiny dots per page; now 1 / 4 full tiles.
     # hd % 128 == 0 keeps FOLD=1 (the existing G-stacked layout).
-    if hd % 128 == 0:
-        fold, eff_group = 1, group
-    elif 128 % hd == 0 and kvh % (128 // hd) == 0:
-        fold, eff_group = 128 // hd, group
-    else:
-        # odd toy shapes: per-head fallback (Mosaic cannot lower sub-lane
-        # column slicing of the fold assembly for these)
-        fold, eff_group = 1, 1
+    fold, eff_group = _fold_for(hd, kvh, group)
     n_tiles = (kvh // fold) * (group // eff_group)
     R = fold * eff_group * cq                   # tile rows
     fhd = fold * hd                             # tile cols
@@ -98,17 +102,12 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
         return out, kb
 
     def build_q(t):
-        """(R, fold*hd) block-diagonal query tile, built once per program."""
+        """(R, fold*hd) block-diagonal query tile, built once per program.
+        For fold > 1 the CALLER pre-placed each head's hd values at its
+        column block fi (q_ref is (cq, QH, fold*hd)), so assembly is pure
+        row stacking — Mosaic cannot lane-concat sub-128 pieces."""
         heads, _ = tile_heads(t)
-        blocks = []
-        for _, h, fi in heads:
-            qh = q_ref[:, h, :]                          # (cq, hd)
-            if fold > 1:
-                pads = [jnp.zeros((cq, hd), qh.dtype)] * fi + [qh] + \
-                       [jnp.zeros((cq, hd), qh.dtype)] * (fold - 1 - fi)
-                qh = jnp.concatenate(pads, axis=1)       # (cq, fold*hd)
-            blocks.append(qh)
-        return jnp.concatenate(blocks, axis=0)           # (R, fold*hd)
+        return jnp.concatenate([q_ref[:, h, :] for _, h, _ in heads], axis=0)
 
     q_tiles = [build_q(t) for t in range(n_tiles)]
 
@@ -174,26 +173,44 @@ def _prefill_kernel(layer_ref, chunk_seg_ref, chunk_pos_ref, tables_ref, ctx_ref
             tuple(jnp.zeros((R, fhd), jnp.float32) for _ in range(n_tiles)))
     ms, ls, accs = jax.lax.fori_loop(0, npages, body, init)
 
-    # Assemble ONE full-lane (CQ, QH*hd) store: per-head stores into the
-    # 3-D (cq, 1, hd) window are an "unsupported shape cast" in Mosaic for
-    # hd % 128 != 0 (Qwen2-0.5B's hd=64); lane-concatenating the per-head
-    # tiles and writing the flattened block is layout-clean for any hd.
-    pieces = [None] * (n_tiles * fold * eff_group)
-    for t in range(n_tiles):
-        heads, _ = tile_heads(t)
-        safe_l = jnp.where(ls[t] > 0.0, ls[t], 1.0)
-        o = (accs[t] / safe_l).astype(out_ref.dtype)      # (R, fold*hd)
-        for rb, h, fi in heads:
-            pieces[h] = o[rb * cq:(rb + 1) * cq, fi * hd:(fi + 1) * hd]
-    out_ref[...] = jnp.concatenate(pieces, axis=1)
+    # Assemble ONE full-lane store: per-head stores into 3-D (cq, 1, hd)
+    # windows are an "unsupported shape cast" in Mosaic for hd % 128 != 0,
+    # and sub-lane (hd < 128) column slices of the fold tiles don't
+    # lane-concatenate either. fold == 1: concat the (cq, hd) head tiles
+    # (full-lane overall). fold > 1: emit each row block's FULL (cq, 128)
+    # tile — head h lands at block h (emission order == head order since
+    # h = (t*fold + fi)*group + g == block position) with its valid hd
+    # columns at offset fi*hd; the jitted CALLER extracts them (XLA
+    # handles sub-lane slices fine).
+    if fold == 1:
+        pieces = [None] * (n_tiles * eff_group)
+        for t in range(n_tiles):
+            heads, _ = tile_heads(t)
+            safe_l = jnp.where(ls[t] > 0.0, ls[t], 1.0)
+            o = (accs[t] / safe_l).astype(out_ref.dtype)  # (R, hd)
+            for rb, h, _ in heads:
+                pieces[h] = o[rb * cq:(rb + 1) * cq]
+        out_ref[...] = jnp.concatenate(pieces, axis=1)
+    else:
+        pieces = []
+        for t in range(n_tiles):
+            safe_l = jnp.where(ls[t] > 0.0, ls[t], 1.0)
+            o = (accs[t] / safe_l).astype(out_ref.dtype)  # (R, fold*hd)
+            for rb in range(fold * eff_group):
+                pieces.append(o[rb * cq:(rb + 1) * cq])   # (cq, 128) each
+        out_ref[...] = jnp.concatenate(pieces, axis=1)
 
 
 @functools.lru_cache(maxsize=64)
 def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, quantized,
                   interpret):
     C = T // cq
+    fold, _ = _fold_for(hd, kvh, group)
+    out_w = QH * hd * fold  # fold > 1 emits full 128-wide per-head blocks
     in_specs = [
-        pl.BlockSpec((cq, QH, hd), lambda i, *_: (i, 0, 0),
+        # fold > 1: q arrives pre-folded (caller): (T, QH, fold*hd) with
+        # head h's values at column block (h // group) % fold.
+        pl.BlockSpec((cq, QH, hd * fold), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -210,7 +227,7 @@ def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, quantized,
         num_scalar_prefetch=5,
         grid=(C,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((cq, QH * hd), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((cq, out_w), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
@@ -218,7 +235,7 @@ def _build_kernel(T, QH, hd, bs, kvh, group, cq, dtype, scale, quantized,
         functools.partial(_prefill_kernel, cq=cq, bs=bs, kvh=kvh, group=group,
                           hd=hd, scale=scale, quantized=quantized),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, QH * hd), dtype),
+        out_shape=jax.ShapeDtypeStruct((T, out_w), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -240,8 +257,28 @@ def ragged_prefill_attention(q, cache: KVCache, chunk_seg, chunk_pos,
     kernel = _build_kernel(T, QH, hd, bs, kvh, group, cq, out_dtype,
                            float(scale), cache.quantized, interpret)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    fold, _ = _fold_for(hd, kvh, group)
+    q_in = q.astype(out_dtype)
+    if fold > 1:
+        # Pre-fold the query (XLA side): head h's hd values move to column
+        # block fi = (h // group) % fold of a (T, QH, fold*hd) layout, so
+        # the kernel's block-diagonal tile assembly is pure row stacking.
+        fi = (jnp.arange(QH) // group) % fold            # (QH,)
+        sel = fi[:, None] == jnp.arange(fold)[None, :]   # (QH, fold)
+        q_in = jnp.where(sel[None, :, :, None], q_in[:, :, None, :],
+                         jnp.zeros((), q_in.dtype)).reshape(T, QH, fold * hd)
     args = [layer, chunk_seg, chunk_pos, block_tables, context_lens,
-            q.astype(out_dtype), cache.kv]
+            q_in, cache.kv]
     if cache.quantized:
         args.append(cache.scale)
-    return kernel(*args).reshape(T, QH, hd).astype(q.dtype)
+    out = kernel(*args)
+    if fold > 1:
+        # fold > 1 kernels emit a full (cq, fold*hd) block per head (head h
+        # at block h); its valid hd columns sit at offset fi*hd where
+        # fi = (h // group) % fold. Extract with static slices — cheap XLA
+        # copies outside Mosaic.
+        fhd = fold * hd
+        parts = [out[:, h * fhd + ((h // group) % fold) * hd:][:, :hd]
+                 for h in range(QH)]
+        out = jnp.concatenate(parts, axis=1)
+    return out.reshape(T, QH, hd).astype(q.dtype)

@@ -71,7 +71,9 @@ def _pick_k_tile_int8(K: int, T: int, bn: int) -> int:
     Qwen2 geometry (round-4 bench_qmm: 3.84 -> 2.68 ms for the 24-layer
     4-matmul chain). Falls back to the tiled pick when whole-K would not
     fit the ~12 MiB scoped VMEM budget."""
-    if K % 8 == 0:
+    import os
+
+    if K % 8 == 0 and os.environ.get("NANOVLLM_QMM_WHOLE_K") != "0":
         vmem = 2 * (K * bn) + T * K * 2 + T * bn * 4 + T * bn * 2
         if vmem <= 12 * 2**20:
             return K

@@ -72,8 +72,10 @@ def main():
         return q.astype(jnp.bfloat16) if cache.quantized else q
 
     def rejit():
+        from nanovllm_tpu.engine.model_runner import _STEP_STATICS
+
         runner._jit_step = jax.jit(
-            runner._step, static_argnames=("phase", "filtered_sampling"),
+            runner._step, static_argnames=_STEP_STATICS,
             donate_argnums=(1,))
 
     runner._decode_attn = stub
