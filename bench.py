@@ -45,11 +45,15 @@ FAMILIES = {
 # Engine/workload overrides for families that need them (30B-class on a
 # 16 GB chip: ~16 GB of packed weights leaves ~1 GB for the KV pool).
 FAMILY_OVERRIDES = {
+    # 14.5 GiB of packed int4 experts leave ~1 GiB on a 15.75 GiB chip:
+    # 16 lanes x 2 pages (+dummy+slack) of KV and bf16 wide-group expert
+    # scales (the first real run OOMed by 1 GiB with f32 group-128 scales
+    # and 82 KV blocks — BUILD_NOTES round 4).
     "qwen3-30b-a3b": dict(
-        num_seqs=64, max_input_len=256, max_output_len=256,
-        max_num_seqs=40, max_model_len=512, max_num_batched_tokens=2048,
+        num_seqs=32, max_input_len=224, max_output_len=256,
+        max_num_seqs=16, max_model_len=512, max_num_batched_tokens=2048,
         quantization="int4",
-        extra=dict(quantized_init=True, num_kvcache_blocks=82,
+        extra=dict(quantized_init=True, num_kvcache_blocks=34,
                    prefill_step_tokens=512, gpu_memory_utilization=0.98),
     ),
 }

@@ -292,14 +292,20 @@ def spec_from_hf(cfg, max_model_len=None) -> MoESpec:
 
 def init_params_quantized(spec: MoESpec, dtype=jnp.bfloat16,
                           rope_scaling=None, group: int = 128,
-                          seed: int = 0):
+                          expert_group: int = 1024, seed: int = 0):
     """Random-weight init that creates int4 tensors DIRECTLY (no bf16
     staging): a 30B-class MoE is ~15 GB packed int4 but ~60 GB bf16, which
     cannot even be staged on a 16 GB chip. Values are random bytes
     (nibbles) with constant-magnitude scales — numerically meaningless,
     identical compute/memory profile, which is what benching random-weight
     models measures. Embeddings are per-row int8 (+ embed_scale); the int4
-    packed weights carry group scales exactly like ops/quant packs them."""
+    packed weights carry group scales exactly like ops/quant packs them.
+
+    Memory budget (v5e 15.75 GiB visible): the expert stacks alone are
+    14.5 GiB packed, so the EXPERT scales use wide groups (expert_group,
+    largest divisor of K/2) in BF16 — f32 group-128 scales cost 0.9 GiB and
+    OOMed the first real 30B run. Dense/lm_head scales stay at `group`
+    (they feed the stacked int4 matmul kernel, which needs g <= bk)."""
     from nanovllm_tpu.ops.rope import rope_table
 
     rng = np.random.default_rng(seed)
@@ -307,16 +313,19 @@ def init_params_quantized(spec: MoESpec, dtype=jnp.bfloat16,
     D, L, E, I = b.hidden_size, b.num_layers, spec.num_experts, \
         spec.moe_intermediate_size
 
-    def pack4(*shape):
+    def pack4(*shape, g=group, scale_dtype=np.float32):
         K, N = shape[-2:]
-        g = group
-        while K % (2 * g):
+        # both nibble halves must contain whole groups: (K/2) % g == 0
+        while (K // 2) % g:
+            if K // 2 <= g:
+                g = K // 2
+                break
             g //= 2
         packed = rng.integers(-128, 128, size=(*shape[:-2], K // 2, N),
                               dtype=np.int8)
         scale = rng.uniform(0.005, 0.02,
                             size=(*shape[:-2], K // g, N)).astype(np.float32)
-        return jnp.asarray(packed), jnp.asarray(scale)
+        return jnp.asarray(packed), jnp.asarray(scale).astype(scale_dtype)
 
     layers = {
         "ln1": jnp.ones((L, D), dtype),
@@ -325,10 +334,12 @@ def init_params_quantized(spec: MoESpec, dtype=jnp.bfloat16,
             rng.normal(0, 0.02, (L, D, E)).astype(np.float32), dtype),
     }
     for name, shape in (("wqkv", (L, D, b.qkv_size)),
-                        ("wo", (L, b.q_size, D)),
-                        ("w_gate_up", (L, E, D, 2 * I)),
-                        ("w_down", (L, E, I, D))):
+                        ("wo", (L, b.q_size, D))):
         layers[name], layers[name + "_scale"] = pack4(*shape)
+    for name, shape in (("w_gate_up", (L, E, D, 2 * I)),
+                        ("w_down", (L, E, I, D))):
+        layers[name], layers[name + "_scale"] = pack4(
+            *shape, g=expert_group, scale_dtype=jnp.bfloat16)
     if not spec.uniform_sparse:
         layers["is_sparse"] = jnp.asarray(spec.sparse_mask, jnp.float32)
     if b.qk_norm:
