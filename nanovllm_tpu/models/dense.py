@@ -88,9 +88,12 @@ def _split_qkv(qkv, spec: DenseSpec):
 
 # Layer-stacked weights kept OUT of the scan xs: quant_matmul selects the
 # layer inside its kernel index maps, so no per-layer slice of the (big)
-# weight stacks is ever materialized (norms/biases are tiny and still scan).
+# weight stacks is ever materialized (norms/biases are tiny and still
+# scan). MoE expert stacks ride here too — scanning them sliced a 302 MB
+# per-layer copy of the 30B model's experts out of lax.scan every layer.
 BIG_WEIGHTS = ("wqkv", "wqkv_scale", "wo", "wo_scale",
-               "wgu", "wgu_scale", "wdown", "wdown_scale")
+               "wgu", "wgu_scale", "wdown", "wdown_scale",
+               "w_gate_up", "w_gate_up_scale", "w_down", "w_down_scale")
 
 
 def split_layer_params(layers: dict):

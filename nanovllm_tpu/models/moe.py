@@ -87,11 +87,34 @@ class MoESpec:
             else max(self.top_k, self.dense_chunks)
 
 
-def moe_block(spec: MoESpec, lp, x):
+def _expert_weights(big, layer_idx):
+    """Per-layer expert stacks from the layer-stacked big dict (XLA paths:
+    a dynamic-slice copy; the pallas kernel indexes the stack in its DMA
+    maps instead and never materializes this)."""
+    out = {}
+    for name in ("w_gate_up", "w_gate_up_scale", "w_down", "w_down_scale"):
+        if name in big:
+            out[name] = jax.lax.dynamic_index_in_dim(
+                big[name], layer_idx, 0, keepdims=False)
+    return out
+
+
+def _pallas_mlp_ok(spec: MoESpec, big) -> bool:
+    import jax as _jax
+
+    b = spec.base
+    return ("w_gate_up_scale" in big
+            and spec.ep_axis is None and spec.num_local_experts <= 0
+            and _jax.default_backend() == "tpu"
+            and b.hidden_size % 256 == 0
+            and spec.moe_intermediate_size % 256 == 0)
+
+
+def moe_block(spec: MoESpec, big, lp, x, layer_idx):
     """Sparse MLP. x: (T, D) -> (T, D).
 
-    lp: router (D, E_global), w_gate_up (E_local, D, 2*I), w_down
-    (E_local, I, D)."""
+    lp: router (D, E_global); expert stacks ride in `big` (layer-stacked,
+    selected by layer_idx)."""
     T, D = x.shape
     K = spec.route_k
     logits = (x @ lp["router"]).astype(jnp.float32)      # (T, E)
@@ -160,32 +183,63 @@ def moe_block(spec: MoESpec, lp, x):
         return jax.lax.ragged_dot(h, w_dn, gs,
                                   preferred_element_type=jnp.float32)
 
-    if "w_gate_up_scale" in lp:
-        # INT4 experts: weights stay PACKED in HBM; dequantize CHUNK_E
-        # experts at a time and accumulate the ragged products — a row
-        # outside the chunk hits absorber/zero groups in BOTH stages, so
-        # summing chunks gives every row exactly its own expert's output.
-        # Bounds transient bf16 dequant memory to CHUNK_E experts/step
-        # (a full-stack dequant of a 30B-class model is ~1.2 GB per layer).
-        from nanovllm_tpu.ops.quant import unpack_int4
+    if "w_gate_up_scale" in big and _pallas_mlp_ok(spec, big):
+        # INT4 experts, fused path: the grouped int4 SwiGLU kernel streams
+        # each hit expert's PACKED bytes once (biased-nibble masks + s8
+        # MXU dots) — the XLA chunked-dequant alternative materializes
+        # bf16 weights through HBM (3x traffic; 527 ms/step on the 30B).
+        from nanovllm_tpu.ops.pallas.moe_int4 import RB, int4_grouped_mlp
 
+        E = spec.num_experts
+        RK = flat_expert.shape[0]
+        aligned = -(-counts // 8) * 8
+        cum_p = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned, dtype=jnp.int32)])
+        cum = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
+        pad_off = cum_p[:-1] - cum[:-1]
+        positions = jnp.arange(RK, dtype=jnp.int32) \
+            + pad_off[flat_expert[order]]
+        # allocation: worst-case 7 pad rows per expert + RB rows of read
+        # slack (the kernel reads whole RB blocks past short tails)
+        R_alloc = RK + 7 * E + RB
+        amax = jnp.max(jnp.abs(x_sorted.astype(jnp.float32)), axis=1,
+                       keepdims=True)
+        sx = jnp.maximum(amax, 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(x_sorted.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        x8 = jnp.zeros((R_alloc, D), jnp.int8).at[positions].set(xq)
+        xs = jnp.ones((R_alloc, 1), jnp.float32).at[positions].set(sx)
+        y_pad = int4_grouped_mlp(
+            x8, xs, cum_p, big["w_gate_up"], big["w_gate_up_scale"],
+            big["w_down"], big["w_down_scale"], layer_idx)
+        y = y_pad[positions].astype(jnp.float32)
+    elif "w_gate_up_scale" in big:
+        # INT4 experts, XLA fallback (CPU / EP-sharded): weights stay
+        # PACKED in HBM; dequantize CHUNK_E experts at a time and
+        # accumulate the ragged products — a row outside the chunk hits
+        # absorber/zero groups in BOTH stages, so summing chunks gives
+        # every row exactly its own expert's output.
+        from nanovllm_tpu.ops.quant import unpack_int4_biased
+
+        lw = _expert_weights(big, layer_idx)
         e_local = spec.local_experts
         # Chunk size bounded by transient-dequant memory (~96 MB of bf16
         # expert weights live at once) — a 30B-class layer's full dequant
         # would be ~1.2 GB, blowing the tail of a 16 GB chip.
-        per_expert = 2 * (lp["w_gate_up"].shape[1] * lp["w_gate_up"].shape[2]
-                          + lp["w_down"].shape[1] * lp["w_down"].shape[2])
+        per_expert = 2 * (lw["w_gate_up"].shape[1] * lw["w_gate_up"].shape[2]
+                          + lw["w_down"].shape[1] * lw["w_down"].shape[2])
         ec = next(c for c in (32, 16, 8, 4, 2, 1)
                   if e_local % c == 0 and c * per_expert * 2 <= 96 * 2**20)
 
         def chunk(c, acc):
             def dq(name):
-                w, s = lp[name], lp[name + "_scale"]
+                w, s = lw[name], lw[name + "_scale"]
                 q = jax.lax.dynamic_slice(
                     w, (c * ec, 0, 0), (ec,) + w.shape[1:])
                 sc = jax.lax.dynamic_slice(
                     s, (c * ec, 0, 0), (ec,) + s.shape[1:])
-                return unpack_int4(q, sc).astype(x.dtype)
+                return unpack_int4_biased(q, sc).astype(x.dtype)
 
             return acc + expert_mlp(base + c * ec, ec,
                                     dq("w_gate_up"), dq("w_down"), True)
@@ -194,11 +248,13 @@ def moe_block(spec: MoESpec, lp, x):
             0, e_local // ec, chunk,
             jnp.zeros((x_sorted.shape[0], D), jnp.float32))
     elif sharded:
+        lw = _expert_weights(big, layer_idx)
         y = expert_mlp(base, spec.local_experts,
-                       lp["w_gate_up"], lp["w_down"], True)
+                       lw["w_gate_up"], lw["w_down"], True)
     else:
+        lw = _expert_weights(big, layer_idx)
         y = expert_mlp(base, spec.num_experts,
-                       lp["w_gate_up"], lp["w_down"], False)
+                       lw["w_gate_up"], lw["w_down"], False)
 
     w_sorted = weights.reshape(-1)[order].astype(jnp.float32)
     out = jnp.zeros((T, D), jnp.float32).at[token_of].add(y * w_sorted[:, None])
@@ -231,7 +287,7 @@ def decoder_layer(spec: MoESpec, big, lp, h, residual, cos, sin, cache,
         o = jax.lax.psum(o, b.tp_axis)
 
     normed, residual = add_rms_norm(o, residual, lp["ln2"], b.rms_norm_eps)
-    mlp_out = moe_block(spec, lp, normed)
+    mlp_out = moe_block(spec, big, lp, normed, layer_idx)
     return mlp_out, residual, cache
 
 
@@ -292,7 +348,7 @@ def spec_from_hf(cfg, max_model_len=None) -> MoESpec:
 
 def init_params_quantized(spec: MoESpec, dtype=jnp.bfloat16,
                           rope_scaling=None, group: int = 128,
-                          expert_group: int = 1024, seed: int = 0):
+                          seed: int = 0):
     """Random-weight init that creates int4 tensors DIRECTLY (no bf16
     staging): a 30B-class MoE is ~15 GB packed int4 but ~60 GB bf16, which
     cannot even be staged on a 16 GB chip. Values are random bytes
@@ -302,10 +358,10 @@ def init_params_quantized(spec: MoESpec, dtype=jnp.bfloat16,
     packed weights carry group scales exactly like ops/quant packs them.
 
     Memory budget (v5e 15.75 GiB visible): the expert stacks alone are
-    14.5 GiB packed, so the EXPERT scales use wide groups (expert_group,
-    largest divisor of K/2) in BF16 — f32 group-128 scales cost 0.9 GiB and
-    OOMed the first real 30B run. Dense/lm_head scales stay at `group`
-    (they feed the stacked int4 matmul kernel, which needs g <= bk)."""
+    14.5 GiB packed, so the EXPERT scales use the biased PLANE pack
+    (2 groups, bf16) — f32 group-128 scales cost 0.9 GiB and OOMed the
+    first real 30B run. Dense/lm_head scales stay at `group` (they feed
+    the stacked int4 matmul kernel, which needs g <= bk)."""
     from nanovllm_tpu.ops.rope import rope_table
 
     rng = np.random.default_rng(seed)
@@ -338,8 +394,15 @@ def init_params_quantized(spec: MoESpec, dtype=jnp.bfloat16,
         layers[name], layers[name + "_scale"] = pack4(*shape)
     for name, shape in (("w_gate_up", (L, E, D, 2 * I)),
                         ("w_down", (L, E, I, D))):
-        layers[name], layers[name + "_scale"] = pack4(
-            *shape, g=expert_group, scale_dtype=jnp.bfloat16)
+        # Experts use the BIASED plane-scale pack (the grouped int4 MLP
+        # kernel's format, ops/pallas/moe_int4.py): scales (..., 2, N)
+        # = [s_lo, s_hi/16], random bytes are valid packed values.
+        K, N = shape[-2:]
+        layers[name] = jnp.asarray(rng.integers(
+            -128, 128, size=(*shape[:-2], K // 2, N), dtype=np.int8))
+        layers[name + "_scale"] = jnp.asarray(rng.uniform(
+            0.005, 0.02, size=(*shape[:-2], 2, N)).astype(np.float32)
+        ).astype(jnp.bfloat16)
     if not spec.uniform_sparse:
         layers["is_sparse"] = jnp.asarray(spec.sparse_mask, jnp.float32)
     if b.qk_norm:

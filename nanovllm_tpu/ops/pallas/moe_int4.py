@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: grouped (per-expert) int4 SwiGLU MLP — the 30B-MoE
+decode hot path.
+
+The XLA int4 expert path dequantizes packed weights to bf16 through HBM
+(read packed + write bf16 + read bf16 = 3x the packed bytes) and measured
+527 ms/step on the 30B-A3B bench — vs a ~26 ms floor for streaming the
+14.5 GiB packed stacks once. This kernel streams each hit expert's PACKED
+bytes into VMEM exactly once and never materializes a dequantized copy:
+
+  * BIASED NIBBLE PACK: byte b stores (q_lo + 8) in bits 0-3 and q_hi
+    (two's complement) in bits 4-7. Mosaic legalizes `andi` on int8
+    vectors (4 bytes/lane) but NOT int8 shifts, so extraction is TWO
+    mask passes with no shift and no dtype conversion:
+        b & 0x0F = q_lo + 8        (values 0..15)
+        b & 0xF0 = 16 * q_hi       (sign rides the top bits)
+  * s8 x s8 -> i32 MXU dots consume the masked bytes directly; the +8
+    bias is removed with a per-row-block running sum (d_lo - 8 * rowsum)
+    and the factor 16 folds into the stored hi-plane scale (s_hi / 16).
+  * Scale groups COINCIDE with the nibble planes (group = K/2): the
+    per-plane scales apply to whole dot outputs — no per-element scaling.
+  * Activations are quantized to int8 per row (x by the caller, the
+    hidden h in-kernel) so both stages ride the s8 MXU.
+
+Layout contract (built by quantize_int4_biased / moe.init):
+  w_gu (L, E, D/2, 2I) int8, s_gu (L, E, 2, 2I): [s_lo, s_hi/16]
+  w_dn (L, E, I/2, D) int8,  s_dn (L, E, 2, D)
+  x8   (R, D) int8 rows sorted by expert, segments padded to 8 rows
+  xs   (R, 1) f32 per-row dequant scale (padding rows: anything, x8=0)
+  cum  (E+1,) int32 8-aligned segment starts (scalar prefetch)
+Returns (R, D) bf16 in the same padded-sorted order; rows of empty
+segments keep whatever the output buffer held (callers gather only live
+rows).
+
+Reference analogue: nanovllm/models/qwen3_moe.py:163-186 dispatches experts
+with a sequential torch loop over vendor matmuls; this is the TPU-native
+replacement at 4-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RB = 64           # rows per compute block
+SUB = 8           # output write granularity (segment alignment)
+
+
+def _mlp_kernel(layer_ref, cum_ref,                 # scalar prefetch
+                x_hbm, xs_hbm, wgu_hbm, sgu_hbm, wdn_hbm, sdn_hbm,
+                out_hbm,
+                wgu_buf, sgu_buf, wdn_buf, sdn_buf, x_buf, xs_buf, y_buf,
+                sems, xsems,
+                *, E: int, D: int, I: int, n_buf: int = 2):
+    e = pl.program_id(0)
+    layer = layer_ref[0]
+    rows = cum_ref[e + 1] - cum_ref[e]
+    start = cum_ref[e]
+
+    def w_dmas(ee, slot, do_start):
+        copies = [
+            pltpu.make_async_copy(wgu_hbm.at[layer, ee], wgu_buf.at[slot],
+                                  sems.at[0, slot]),
+            pltpu.make_async_copy(sgu_hbm.at[layer, ee], sgu_buf.at[slot],
+                                  sems.at[1, slot]),
+            pltpu.make_async_copy(wdn_hbm.at[layer, ee], wdn_buf.at[slot],
+                                  sems.at[2, slot]),
+            pltpu.make_async_copy(sdn_hbm.at[layer, ee], sdn_buf.at[slot],
+                                  sems.at[3, slot]),
+        ]
+        for c in copies:
+            (c.start if do_start else c.wait)()
+
+    # Cross-program double buffering: program e starts the fetch for the
+    # NEXT live expert (grid programs run sequentially, so e's reads are
+    # done before e+1 issues anything); skipped programs keep the chain
+    # alive without waiting. Program 0 starts its own (one exposed fetch
+    # per layer).
+    @pl.when((e == 0) & (rows > 0))
+    def _():
+        w_dmas(e, e % n_buf, True)
+
+    nxt_rows = cum_ref[jnp.minimum(e + 2, E)] - cum_ref[jnp.minimum(e + 1, E)]
+
+    @pl.when((e + 1 < E) & (nxt_rows > 0))
+    def _():
+        w_dmas(e + 1, (e + 1) % n_buf, True)
+
+    @pl.when(rows > 0)
+    def _():
+        slot = e % n_buf
+        w_dmas(e, slot, False)
+        m_lo_gu = wgu_buf[slot] & jnp.int8(0x0F)        # (D/2, 2I) = q_lo+8
+        m_hi_gu = wgu_buf[slot] & jnp.int8(-16)         # 16 * q_hi
+        m_lo_dn = wdn_buf[slot] & jnp.int8(0x0F)
+        m_hi_dn = wdn_buf[slot] & jnp.int8(-16)
+        s_gu = sgu_buf[slot].astype(jnp.float32)        # (2, 2I)
+        s_dn = sdn_buf[slot].astype(jnp.float32)        # (2, D)
+
+        def block(b, _):
+            r0 = start + b * RB
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(r0, RB)], x_buf, xsems.at[0])
+            cs = pltpu.make_async_copy(
+                xs_hbm.at[pl.ds(r0, RB)], xs_buf, xsems.at[1])
+            cp.start(); cs.start(); cp.wait(); cs.wait()
+            x = x_buf[...]                               # (RB, D) int8
+            sx = xs_buf[...].astype(jnp.float32)         # (RB, 1)
+            x_lo = x[:, : D // 2]
+            x_hi = x[:, D // 2:]
+            d_lo = jax.lax.dot_general(
+                x_lo, m_lo_gu, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)        # (RB, 2I)
+            d_hi = jax.lax.dot_general(
+                x_hi, m_hi_gu, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            rs = jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+            gu = (s_gu[0:1] * (d_lo - 8 * rs).astype(jnp.float32)
+                  + s_gu[1:2] * d_hi.astype(jnp.float32)) * sx  # (RB, 2I)
+            h = jax.nn.silu(gu[:, :I]) * gu[:, I:]       # (RB, I) f32
+            # quantize h rows to int8 for the second s8 stage
+            hmax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+            sh = jnp.maximum(hmax, 1e-8) / 127.0
+            h8 = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+            h_lo = h8[:, : I // 2]
+            h_hi = h8[:, I // 2:]
+            e_lo = jax.lax.dot_general(
+                h_lo, m_lo_dn, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)        # (RB, D)
+            e_hi = jax.lax.dot_general(
+                h_hi, m_hi_dn, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            rs2 = jnp.sum(h_lo.astype(jnp.int32), axis=1, keepdims=True)
+            y = (s_dn[0:1] * (e_lo - 8 * rs2).astype(jnp.float32)
+                 + s_dn[1:2] * e_hi.astype(jnp.float32)) * sh
+            y_buf[...] = y.astype(y_buf.dtype)
+            # 8-row sub-writes: segments are 8-aligned, so writing
+            # ceil(valid/8)*8 rows stays inside this expert's segment.
+            left = rows - b * RB
+            for s in range(RB // SUB):
+                @pl.when(s * SUB < left)
+                def _(s=s):
+                    c = pltpu.make_async_copy(
+                        y_buf.at[pl.ds(s * SUB, SUB)],
+                        out_hbm.at[pl.ds(r0 + s * SUB, SUB)],
+                        xsems.at[2])
+                    c.start()
+                    c.wait()
+            return 0
+
+        jax.lax.fori_loop(0, pl.cdiv(rows, RB), block, 0)
+
+
+@functools.lru_cache(maxsize=16)
+def _build(L, E, D, I, R, sdtype, interpret):
+    kernel = functools.partial(_mlp_kernel, E=E, D=D, I=I)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, D // 2, 2 * I), jnp.int8),     # wgu
+            pltpu.VMEM((2, 2, 2 * I), sdtype),            # sgu
+            pltpu.VMEM((2, I // 2, D), jnp.int8),         # wdn
+            pltpu.VMEM((2, 2, D), sdtype),                # sdn
+            pltpu.VMEM((RB, D), jnp.int8),                # x block
+            pltpu.VMEM((RB, 1), jnp.float32),             # x scales
+            pltpu.VMEM((RB, D), jnp.bfloat16),            # y block
+            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, D), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+
+
+def int4_grouped_mlp(x8, xs, cum, w_gu, s_gu, w_dn, s_dn, layer,
+                     *, interpret: bool = False):
+    """x8 (R, D) int8 sorted/8-aligned; xs (R, 1) f32; cum (E+1,) int32;
+    stacks as per module docstring. Returns (R, D) bf16."""
+    R, D = x8.shape
+    L, E, _, I2 = w_gu.shape
+    I = I2 // 2
+    call = _build(L, E, D, I, R, jnp.dtype(s_gu.dtype), interpret)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    return call(layer, cum.astype(jnp.int32), x8, xs, w_gu, s_gu, w_dn, s_dn)

@@ -88,6 +88,45 @@ def unpack_int4(packed, scale, row_shards: int = 1):
     return (grouped * scale[..., None, :]).reshape(q.shape)
 
 
+def quantize_int4_biased(w, eps: float = 1e-8):
+    """BIASED nibble pack for the grouped int4 MLP kernel
+    (ops/pallas/moe_int4.py): w (..., K, N) -> packed (..., K/2, N) int8 +
+    scales (..., 2, N) f32.
+
+    byte = (q_lo + 8) | (q_hi << 4): `b & 0x0F` yields q_lo + 8 and
+    `b & 0xF0` yields 16 * q_hi — int8 AND is the only bitwise op Mosaic
+    legalizes on int8 vectors, so extraction needs no shifts and no dtype
+    conversion. Scale groups ARE the nibble planes (group = K/2): row
+    plane [0, K/2) uses scales[0]; [K/2, K) uses scales[1], which is
+    stored PRE-DIVIDED by 16 so the masked-byte dot needs no shift."""
+    wf = w.astype(jnp.float32)
+    K = wf.shape[-2]
+    assert K % 2 == 0, K
+    lo, hi = wf[..., : K // 2, :], wf[..., K // 2:, :]
+
+    def q(plane):
+        s = jnp.maximum(jnp.max(jnp.abs(plane), axis=-2), eps) / 7.0
+        return jnp.clip(jnp.round(plane / s[..., None, :]), -8, 7), s
+
+    q_lo, s_lo = q(lo)
+    q_hi, s_hi = q(hi)
+    packed = (q_lo.astype(jnp.int32) + 8
+              + 16 * q_hi.astype(jnp.int32)).astype(jnp.int8)
+    scales = jnp.stack([s_lo, s_hi / 16.0], axis=-2)      # (..., 2, N)
+    return packed, scales
+
+
+def unpack_int4_biased(packed, scales):
+    """Inverse of quantize_int4_biased -> float32 (..., K, N)."""
+    p = packed.astype(jnp.int32)
+    q_lo = (p & 0xF) - 8
+    q_hi = jnp.right_shift(p - (p & 0xF), 4)              # arithmetic
+    s_lo = scales[..., 0:1, :].astype(jnp.float32)
+    s_hi = scales[..., 1:2, :].astype(jnp.float32) * 16.0
+    return jnp.concatenate([q_lo.astype(jnp.float32) * s_lo,
+                            q_hi.astype(jnp.float32) * s_hi], axis=-2)
+
+
 def quantize_weight(w, axis: int = -2, eps: float = 1e-8):
     """w: (..., in, out) -> (int8 values, per-out-channel scales f32)."""
     wf = w.astype(jnp.float32)
@@ -178,14 +217,16 @@ EXPERT_WEIGHTS = ("w_gate_up", "w_down")
 
 def quantize_params(params: dict, bits: int = 8, row_shards: int = 1) -> dict:
     """Entry point used by the engine: dense weights always; MoE expert
-    stacks additionally at int4 (models/moe.py dequantizes expert chunks
-    in-step; int8 experts are not implemented — they stay bf16)."""
+    stacks additionally at int4 in the BIASED plane-scale pack (the
+    grouped-MLP kernel's format — ops/pallas/moe_int4.py; the XLA
+    fallback unpacks the same format). int8 experts are not implemented —
+    they stay bf16."""
     out = quantize_dense_params(params, bits=bits, row_shards=row_shards)
     if bits == 4:
         layers = dict(out["layers"])
         for name in EXPERT_WEIGHTS:
             if name in layers and layers[name].dtype != jnp.int8:
-                q, s = quantize_weight_int4(layers[name])
+                q, s = quantize_int4_biased(layers[name])
                 layers[name] = q
                 layers[name + "_scale"] = s
         out["layers"] = layers

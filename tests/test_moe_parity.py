@@ -151,17 +151,17 @@ def test_expert_sharding_matches_full():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((10, spec.base.hidden_size)).astype(np.float32))
 
-    full = moe.moe_block(spec, lp, x)
+    big = {n: params["layers"][n] for n in ("w_gate_up", "w_down")}
+    full = moe.moe_block(spec, big, lp, x, 0)
     halves = []
     E = spec.num_experts
     for shard in range(2):
         lo, hi = shard * E // 2, (shard + 1) * E // 2
-        lp_s = dict(lp)
-        lp_s["w_gate_up"] = lp["w_gate_up"][lo:hi]
-        lp_s["w_down"] = lp["w_down"][lo:hi]
+        big_s = {n: big[n][:, lo:hi] for n in big}
         spec_s = replace(spec, ep_offset=lo, num_local_experts=E // 2)
         # ragged_dot's group_offset requires a traced context
-        halves.append(jax.jit(moe.moe_block, static_argnums=0)(spec_s, lp_s, x))
+        halves.append(jax.jit(moe.moe_block, static_argnums=0)(
+            spec_s, big_s, lp, x, 0))
     combined = halves[0] + halves[1]
     np.testing.assert_allclose(np.asarray(combined), np.asarray(full),
                                rtol=1e-5, atol=1e-5)
@@ -173,26 +173,25 @@ def test_moe_int4_experts_match_dequantized():
     weights — isolates the chunk/dispatch math from quantization noise."""
     import jax
 
-    from nanovllm_tpu.ops.quant import quantize_weight_int4, unpack_int4
+    from nanovllm_tpu.ops.quant import quantize_int4_biased, unpack_int4_biased
 
     cfg, model = make_tiny_moe()
     spec = moe.spec_from_hf(cfg, max_model_len=128)
     params = load_moe_params(spec, model.state_dict(), dtype=jnp.float32)
     lp = jax.tree.map(lambda x: x[0], params["layers"])  # layer 0
 
-    lp_q = dict(lp)
-    lp_f = dict(lp)
+    big_q, big_f = {}, {}
     for name in ("w_gate_up", "w_down"):
-        q, s = quantize_weight_int4(lp[name])
-        lp_q[name] = q
-        lp_q[name + "_scale"] = s
-        lp_f[name] = unpack_int4(q, s).astype(jnp.float32)
+        q, s = quantize_int4_biased(params["layers"][name])
+        big_q[name] = q
+        big_q[name + "_scale"] = s
+        big_f[name] = unpack_int4_biased(q, s).astype(jnp.float32)
 
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((10, spec.base.hidden_size)
                                         ).astype(np.float32))
-    got = np.asarray(moe.moe_block(spec, lp_q, x))
-    want = np.asarray(moe.moe_block(spec, lp_f, x))
+    got = np.asarray(moe.moe_block(spec, big_q, lp, x, 0))
+    want = np.asarray(moe.moe_block(spec, big_f, lp, x, 0))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
