@@ -209,7 +209,8 @@ def moe_block(spec: MoESpec, big, lp, x, layer_idx):
         xq = jnp.clip(jnp.round(x_sorted.astype(jnp.float32) / sx),
                       -127, 127).astype(jnp.int8)
         x8 = jnp.zeros((R_alloc, D), jnp.int8).at[positions].set(xq)
-        xs = jnp.ones((R_alloc, 1), jnp.float32).at[positions].set(sx)
+        xs = jnp.ones((R_alloc, 128), jnp.float32).at[positions].set(
+            jnp.broadcast_to(sx, (RK, 128)))
         y_pad = int4_grouped_mlp(
             x8, xs, cum_p, big["w_gate_up"], big["w_gate_up_scale"],
             big["w_down"], big["w_down_scale"], layer_idx)

@@ -25,7 +25,8 @@ Layout contract (built by quantize_int4_biased / moe.init):
   w_gu (L, E, D/2, 2I) int8, s_gu (L, E, 2, 2I): [s_lo, s_hi/16]
   w_dn (L, E, I/2, D) int8,  s_dn (L, E, 2, D)
   x8   (R, D) int8 rows sorted by expert, segments padded to 8 rows
-  xs   (R, 1) f32 per-row dequant scale (padding rows: anything, x8=0)
+  xs   (R, 128) f32 per-row dequant scale, broadcast across the lane dim
+       (a (R, 1) slice violates Mosaic's 128-lane DMA tiling)
   cum  (E+1,) int32 8-aligned segment starts (scalar prefetch)
 Returns (R, D) bf16 in the same padded-sorted order; rows of empty
 segments keep whatever the output buffer held (callers gather only live
@@ -101,14 +102,16 @@ def _mlp_kernel(layer_ref, cum_ref,                 # scalar prefetch
         s_dn = sdn_buf[slot].astype(jnp.float32)        # (2, D)
 
         def block(b, _):
-            r0 = start + b * RB
+            # cum entries are 8-aligned by the caller; Mosaic needs the
+            # hint to allow a dynamic sublane-tiled DMA offset.
+            r0 = pl.multiple_of(start + b * RB, 8)
             cp = pltpu.make_async_copy(
                 x_hbm.at[pl.ds(r0, RB)], x_buf, xsems.at[0])
             cs = pltpu.make_async_copy(
                 xs_hbm.at[pl.ds(r0, RB)], xs_buf, xsems.at[1])
             cp.start(); cs.start(); cp.wait(); cs.wait()
             x = x_buf[...]                               # (RB, D) int8
-            sx = xs_buf[...].astype(jnp.float32)         # (RB, 1)
+            sx = xs_buf[:, 0:1]                          # (RB, 1)
             x_lo = x[:, : D // 2]
             x_hi = x[:, D // 2:]
             d_lo = jax.lax.dot_general(
@@ -145,7 +148,8 @@ def _mlp_kernel(layer_ref, cum_ref,                 # scalar prefetch
                 def _(s=s):
                     c = pltpu.make_async_copy(
                         y_buf.at[pl.ds(s * SUB, SUB)],
-                        out_hbm.at[pl.ds(r0 + s * SUB, SUB)],
+                        out_hbm.at[pl.ds(pl.multiple_of(r0 + s * SUB, 8),
+                                         SUB)],
                         xsems.at[2])
                     c.start()
                     c.wait()
@@ -168,7 +172,7 @@ def _build(L, E, D, I, R, sdtype, interpret):
             pltpu.VMEM((2, I // 2, D), jnp.int8),         # wdn
             pltpu.VMEM((2, 2, D), sdtype),                # sdn
             pltpu.VMEM((RB, D), jnp.int8),                # x block
-            pltpu.VMEM((RB, 1), jnp.float32),             # x scales
+            pltpu.VMEM((RB, 128), jnp.float32),           # x scales
             pltpu.VMEM((RB, D), jnp.bfloat16),            # y block
             pltpu.SemaphoreType.DMA((4, 2)),
             pltpu.SemaphoreType.DMA((3,)),
@@ -186,7 +190,8 @@ def _build(L, E, D, I, R, sdtype, interpret):
 
 def int4_grouped_mlp(x8, xs, cum, w_gu, s_gu, w_dn, s_dn, layer,
                      *, interpret: bool = False):
-    """x8 (R, D) int8 sorted/8-aligned; xs (R, 1) f32; cum (E+1,) int32;
+    """x8 (R, D) int8 sorted/8-aligned; xs (R, 128) f32 (lane-broadcast
+    per-row scales); cum (E+1,) int32;
     stacks as per module docstring. Returns (R, D) bf16."""
     R, D = x8.shape
     L, E, _, I2 = w_gu.shape

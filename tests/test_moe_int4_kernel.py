@@ -32,7 +32,7 @@ def test_int4_grouped_mlp_matches_reference():
     R = int(cum[-1]) + RB  # read slack like the engine caller allocates
 
     x8 = np.zeros((R, D), np.int8)
-    xs = np.ones((R, 1), np.float32)
+    xs = np.ones((R, 128), np.float32)
     rows_of = []  # (row, expert)
     for e, c in enumerate(counts):
         for j in range(c):
@@ -50,7 +50,7 @@ def test_int4_grouped_mlp_matches_reference():
     gu_f = np.asarray(unpack_int4_biased(w_gu[layer], s_gu[layer]))  # (E,D,2I)
     dn_f = np.asarray(unpack_int4_biased(w_dn[layer], s_dn[layer]))
     for r, e in rows_of:
-        x = x8[r].astype(np.float32) * xs[r]
+        x = x8[r].astype(np.float32) * xs[r, 0]
         gu = x @ gu_f[e]
         h = gu[:I] / (1 + np.exp(-gu[:I])) * gu[I:]
         sh = max(np.abs(h).max(), 1e-8) / 127.0
