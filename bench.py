@@ -50,10 +50,10 @@ FAMILY_OVERRIDES = {
     # scales (the first real run OOMed by 1 GiB with f32 group-128 scales
     # and 82 KV blocks — BUILD_NOTES round 4).
     "qwen3-30b-a3b": dict(
-        num_seqs=32, max_input_len=224, max_output_len=256,
-        max_num_seqs=16, max_model_len=512, max_num_batched_tokens=2048,
+        num_seqs=48, max_input_len=224, max_output_len=256,
+        max_num_seqs=24, max_model_len=512, max_num_batched_tokens=2048,
         quantization="int4",
-        extra=dict(quantized_init=True, num_kvcache_blocks=34,
+        extra=dict(quantized_init=True, num_kvcache_blocks=50,
                    prefill_step_tokens=512, gpu_memory_utilization=0.98),
     ),
 }
