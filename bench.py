@@ -74,6 +74,8 @@ def main():
     parser.add_argument("--kv-cache-dtype", default="int8")
     parser.add_argument("--quantization", default="int8")
     parser.add_argument("--attention-backend", default="auto")
+    parser.add_argument("--use-shard-map", default="auto",
+                        help="'on': run the step under shard_map on a 1-device mesh")
     parser.add_argument("--smoke", action="store_true", help="tiny quick run")
     parser.add_argument("--phase-stats", action="store_true",
                         help="per-phase step accounting (prefill/mixed vs decode)")
@@ -106,6 +108,7 @@ def main():
         kv_cache_dtype=args.kv_cache_dtype,
         quantization=args.quantization,
         attention_backend=args.attention_backend,
+        use_shard_map=args.use_shard_map,
         **extra,
     )
 
