@@ -68,13 +68,14 @@ def main():
     p.add_argument("--ctx", type=int, default=1024)
     p.add_argument("--max-num-seqs", type=int, default=192)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--no-buckets-too", action="store_true",
-                   help="also sweep with bucketing disabled (pads to S_max)")
+    p.add_argument("--no-buckets", action="store_true",
+                   help="sweep with bucketing disabled (pads to S_max); "
+                        "run in a separate PROCESS from the bucketed sweep "
+                        "(a second ModelRunner in one process OOMs on the "
+                        "first one's still-allocated KV pool)")
     args = p.parse_args()
 
-    run_sweep(args, buckets_on=True)
-    if args.no_buckets_too:
-        run_sweep(args, buckets_on=False)
+    run_sweep(args, buckets_on=not args.no_buckets)
 
 
 if __name__ == "__main__":
