@@ -28,18 +28,23 @@ BASELINES = {
     "qwen2-0.5b": 6940.84,
     "llama3.2-1b": 5648.50,
     "qwen3-30b-a3b": 347.80,
+    # the reference publishes no MiniCPM number (its mini_cpm4.py has no
+    # bench row); vs_baseline is omitted for this family
+    "minicpm4-0.5b": None,
 }
 BASELINE_QWEN3_0_6B = BASELINES["qwen3-0.6b"]
 
 
-from bench_model import (llama32_1b_config, qwen2_0_5b_config,  # noqa: E402
-                         qwen3_0_6b_config, qwen3_30b_a3b_config)
+from bench_model import (llama32_1b_config, minicpm4_0_5b_config,  # noqa: E402
+                         qwen2_0_5b_config, qwen3_0_6b_config,
+                         qwen3_30b_a3b_config)
 
 FAMILIES = {
     "qwen3-0.6b": qwen3_0_6b_config,
     "qwen2-0.5b": qwen2_0_5b_config,
     "llama3.2-1b": llama32_1b_config,
     "qwen3-30b-a3b": qwen3_30b_a3b_config,
+    "minicpm4-0.5b": minicpm4_0_5b_config,
 }
 
 # Engine/workload overrides for families that need them (30B-class on a
@@ -150,12 +155,14 @@ def main():
     throughput = total_tokens / dt
     print(f"Total: {total_tokens}tok, Time: {dt:.2f}s, "
           f"Throughput: {throughput:.2f}tok/s", file=sys.stderr)
-    print(json.dumps({
+    record = {
         "metric": f"{args.family.replace('-', '_')}_offline_throughput",
         "value": round(throughput, 2),
         "unit": "tok/s",
-        "vs_baseline": round(throughput / BASELINES[args.family], 4),
-    }))
+    }
+    if BASELINES.get(args.family):
+        record["vs_baseline"] = round(throughput / BASELINES[args.family], 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

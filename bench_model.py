@@ -40,6 +40,41 @@ def llama32_1b_config():
     )
 
 
+def minicpm4_0_5b_config():
+    """MiniCPM4-0.5B shapes (reference mini_cpm4.py:304-391): depth/width
+    scaling knobs + LongRoPE frequency tables. The HF implementation is
+    trust_remote_code (unavailable offline), so this is a duck-typed config
+    — Config/_spec_from_hf read attributes only."""
+
+    class MiniCPM4Config:
+        architectures = ["MiniCPMForCausalLM"]
+        model_type = "minicpm"
+        vocab_size = 73448
+        hidden_size = 1024
+        intermediate_size = 4096
+        num_hidden_layers = 24
+        num_attention_heads = 16
+        num_key_value_heads = 2
+        head_dim = 64
+        max_position_embeddings = 32768
+        rope_theta = 10000.0
+        rms_norm_eps = 1e-6
+        tie_word_embeddings = True
+        attention_bias = False
+        scale_emb = 12.0
+        scale_depth = 1.4
+        dim_model_base = 256
+        eos_token_id = 2
+        rope_scaling = {
+            "rope_type": "longrope",
+            "short_factor": [1.0 + 0.02 * i for i in range(32)],
+            "long_factor": [1.0 + 0.35 * i for i in range(32)],
+            "original_max_position_embeddings": 32768,
+        }
+
+    return MiniCPM4Config()
+
+
 def qwen3_30b_a3b_config():
     """Qwen3-30B-A3B (MoE, ~30.5B total / 3.3B active): 48 layers, 128
     experts top-8, hidden 2048. int4-packed this is ~15 GB — the largest
