@@ -98,9 +98,13 @@ def _decode_kernel(layer_ref, tables_ref, ctx_ref,   # scalar prefetch (SMEM)
     # in flight — a win for big pages (Qwen3: 512 KiB). For small pages
     # (Qwen2-0.5B: 64 KiB) the extra DMA issue/wait overhead outweighs the
     # overlap: fuse the planes into ONE whole-page copy and make plane 1's
-    # wait a no-op.
+    # wait a no-op. Threshold A/B'd at 256 KiB pages (Llama-3.2 geometry):
+    # whole-page won there too, so split only engages at >= 512 KiB.
     page_bytes = 2 * bs * row_dim * (1 if quantized else 2)
-    split_kv = page_bytes >= (1 << 18)
+    import os
+
+    split_kv = page_bytes >= int(
+        os.environ.get("NANOVLLM_SPLIT_KV_MIN", 1 << 19))
 
     def page_dmas(t, slot, do_start, plane):
         """plane 0: a page's K rows (+ its fused scale page); plane 1: its
