@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from nanovllm_tpu.ops import attention as attn_ops
 from nanovllm_tpu.ops.activation import silu_and_mul
 from nanovllm_tpu.ops.norms import add_rms_norm, rms_norm
-from nanovllm_tpu.ops.quant import quant_matmul
+from nanovllm_tpu.ops.quant import fused_mlp, quant_matmul
 from nanovllm_tpu.ops.rope import apply_rope_gathered
 
 
@@ -140,12 +140,17 @@ def decoder_layer(spec: DenseSpec, big, lp, h, residual, cos, sin,
     o = o * spec.residual_scale
 
     normed, residual = add_rms_norm(o, residual, lp["ln2"], spec.rms_norm_eps)
-    gu = quant_matmul(normed, big["wgu"], big.get("wgu_scale"),
-                      layer=layer_idx)
-    if spec.mlp_bias:
-        gu = gu + lp["bgu"]
-    mlp_out = quant_matmul(silu_and_mul(gu), big["wdown"],
-                           big.get("wdown_scale"), layer=layer_idx)
+    mlp_out = None
+    if not spec.mlp_bias:
+        mlp_out = fused_mlp(normed, big["wgu"], big.get("wgu_scale"),
+                            big["wdown"], big.get("wdown_scale"), layer_idx)
+    if mlp_out is None:
+        gu = quant_matmul(normed, big["wgu"], big.get("wgu_scale"),
+                          layer=layer_idx)
+        if spec.mlp_bias:
+            gu = gu + lp["bgu"]
+        mlp_out = quant_matmul(silu_and_mul(gu), big["wdown"],
+                               big.get("wdown_scale"), layer=layer_idx)
     if spec.tp_axis:
         mlp_out = jax.lax.psum(mlp_out, spec.tp_axis)
     if spec.mlp_bias:

@@ -339,6 +339,127 @@ def int4_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
     return kernel(layer, x[:, : K // 2], x[:, K // 2:], w, scale)
 
 
+def _fused_mlp_kernel(layer_ref, x_ref, wg_ref, wu_ref, sg_ref, su_ref,
+                      wd_ref, sd_ref, out_ref, acc_ref, *, n_i: int):
+    """One SwiGLU MLP chunk: a = silu(x@wg*sg) * (x@wu*su); acc += a @ wd.
+    The (T, 2I) gate_up intermediate never exists — each I-chunk's
+    activation lives only in VMEM between its two MXU dots."""
+    del layer_ref  # consumed by the index maps
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    g = jax.lax.dot(x, wg_ref[0].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+    g = g * sg_ref[0].astype(jnp.float32)
+    u = jax.lax.dot(x, wu_ref[0].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+    u = u * su_ref[0].astype(jnp.float32)
+    a = (g / (1.0 + jnp.exp(-g)) * u).astype(x.dtype)
+    acc_ref[...] += jax.lax.dot(a, wd_ref[0].astype(x.dtype),
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        out_ref[...] = (acc_ref[...] * sd_ref[0].astype(jnp.float32)
+                        ).astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_fused_mlp(L, T, K, I, bt, bi, x_dtype, interpret):
+    n_i = I // bi
+    n_up = I // bi  # up columns start at block offset I/bi inside wgu
+    return pl.pallas_call(
+        functools.partial(_fused_mlp_kernel, n_i=n_i),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # layer index
+            grid=(T // bt, n_i),
+            in_specs=[
+                pl.BlockSpec((bt, K), lambda t, i, l: (t, 0),
+                             memory_space=pltpu.VMEM),
+                # gate and up tiles are two windows of the SAME (L, K, 2I)
+                # stack: columns [i*bi, ...) and [I + i*bi, ...).
+                pl.BlockSpec((1, K, bi), lambda t, i, l: (l[0], 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, bi), lambda t, i, l: (l[0], 0, i + n_up),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bi), lambda t, i, l: (l[0], 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bi), lambda t, i, l: (l[0], 0, i + n_up),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bi, K), lambda t, i, l: (l[0], i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, K), lambda t, i, l: (l[0], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bt, K), lambda t, i, l: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bt, K), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, K), x_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )
+
+
+def _fused_mlp_tiles(T: int, K: int, I: int):
+    """(bt, bi) for the fused MLP, or (0, 0) when the shapes don't tile.
+    bi must DIVIDE I (the I axis accumulates — cdiv padding would feed
+    garbage gate/up columns into real wdown rows); bt must divide T."""
+    bt = T if T <= 256 else _pick_tile(T, (256, 128))
+    bi = 0
+    for cand in range(min(I, 1024) // 128 * 128, 0, -128):
+        if I % cand == 0:
+            bi = cand
+            break
+    if not bt or not bi or T % 8 or K % 128:
+        return 0, 0
+    vmem = (bt * K * 2                      # x tile
+            + 2 * 3 * (K * bi)              # wg/wu/wd, double-buffered
+            + bt * K * 4 + bt * K * 2       # acc + out
+            + 2 * bt * bi * 4)              # g/u intermediates
+    while bi > 128 and vmem > 12 * 2**20:
+        bi //= 2
+        if I % bi:
+            return 0, 0
+        vmem = (bt * K * 2 + 2 * 3 * (K * bi) + bt * K * 6
+                + 2 * bt * bi * 4)
+    if vmem > 12 * 2**20:
+        return 0, 0
+    return bt, bi
+
+
+def fused_mlp_int8_stacked(x, wgu, sgu, wdown, sdown, layer, *,
+                           interpret: bool = False):
+    """y = silu_and_mul(x @ deq(wgu[layer])) @ deq(wdown[layer]) in ONE
+    kernel call. x (T, K) bf16; wgu (L, K, 2I) int8 with per-channel
+    scales sgu (L, 2I); wdown (L, I, K) int8, sdown (L, K).
+
+    Decode steps are per-call-overhead-bound (round-4 bench_qmm: the best
+    24-layer x 4-matmul chain was ~4x its HBM floor); fusing the MLP's two
+    matmuls and the silu kills one kernel launch, two elementwise passes
+    and the (T, 2I) intermediate's HBM round trip per layer. Returns None
+    when the geometry doesn't tile — caller falls back to the chain."""
+    T, K = x.shape
+    L, _, I2 = wgu.shape
+    I = I2 // 2
+    if wdown.shape != (L, I, K):
+        return None
+    bt, bi = _fused_mlp_tiles(T, K, I)
+    if not bt:
+        return None
+    kernel = _build_fused_mlp(L, T, K, I, bt, bi, jnp.dtype(x.dtype).name,
+                              interpret)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    sgu3 = sgu.reshape(L, 1, I2)
+    return kernel(layer, x, wgu, wgu, sgu3, sgu3, wdown,
+                  sdown.reshape(L, 1, K))
+
+
 def int8_matmul(x, w, scale, *, interpret: bool = False):
     """y[t, n] = (sum_k x[t, k] * w[k, n]) * scale[n].
 

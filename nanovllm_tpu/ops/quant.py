@@ -180,6 +180,22 @@ def quant_matmul(x, w, scale=None, layer=None):
     return (y * scale).astype(x.dtype)
 
 
+def fused_mlp(x, wgu, sgu, wdown, sdown, layer):
+    """silu_and_mul(x @ deq(wgu[layer])) @ deq(wdown[layer]) as ONE Pallas
+    call when the int8 layer-stacked fast path applies; None otherwise
+    (caller runs the unfused chain). See
+    ops/pallas/quant_matmul.fused_mlp_int8_stacked."""
+    import jax
+
+    if (sgu is None or sdown is None
+            or sgu.ndim != 2 or sdown.ndim != 2      # int8 per-channel only
+            or jax.default_backend() != "tpu" or x.ndim != 2):
+        return None
+    from nanovllm_tpu.ops.pallas.quant_matmul import fused_mlp_int8_stacked
+
+    return fused_mlp_int8_stacked(x, wgu, sgu, wdown, sdown, layer)
+
+
 # weights whose INPUT axis is split under row-parallel TP (their int4 packs
 # must be per-shard self-contained, see quantize_weight_int4 row_shards)
 ROW_PARALLEL_WEIGHTS = ("wo", "wdown")

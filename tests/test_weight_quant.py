@@ -160,3 +160,29 @@ def test_engine_e2e_int4_weights():
     assert again[0]["token_ids"] == out1[0]["token_ids"]
     # accuracy on a REAL-scale weight distribution is covered by the
     # perplexity harness (tools/perplexity.py --bits 4)
+
+
+def test_fused_mlp_kernel_matches_chain():
+    """Fused gate_up->silu->down Pallas kernel (interpret mode) vs the
+    unfused int8 matmul chain."""
+    import jax
+
+    from nanovllm_tpu.ops.activation import silu_and_mul
+    from nanovllm_tpu.ops.pallas.quant_matmul import fused_mlp_int8_stacked
+    from nanovllm_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(2)
+    L, T, K, I = 2, 16, 128, 256
+    x = jnp.asarray(rng.standard_normal((T, K), dtype=np.float32))
+    wgu = jnp.asarray(rng.standard_normal((L, K, 2 * I), dtype=np.float32)) * 0.05
+    wdown = jnp.asarray(rng.standard_normal((L, I, K), dtype=np.float32)) * 0.05
+    qgu, sgu = quantize_weight(wgu)
+    qd, sd = quantize_weight(wdown)
+    for layer in range(L):
+        gu = quant_matmul(x, qgu, sgu, layer=jnp.int32(layer))
+        ref = quant_matmul(silu_and_mul(gu), qd, sd, layer=jnp.int32(layer))
+        got = fused_mlp_int8_stacked(x, qgu, sgu, qd, sd, jnp.int32(layer),
+                                     interpret=True)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-3)

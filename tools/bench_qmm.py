@@ -88,6 +88,28 @@ def main():
         return qmm.int8_matmul_stacked(x, w, s, l)
     timeit("pallas int8 (default tiling)", chain(pallas_step))
 
+    # pallas stacked kernel with the MLP fused into ONE call
+    # (gate_up -> silu -> down; the baseline chain above omits the silu
+    # pass entirely, so the fused win is understated here)
+    def fused_run(x, ws, wbf):
+        def body(h, l):
+            for n, K, N in shapes[:2]:
+                w, s = ws[n]
+                h = qmm.int8_matmul_stacked(adapt(h, K), w, s, l)
+            h = adapt(h, D)
+            y = qmm.fused_mlp_int8_stacked(h, ws["wgu"][0], ws["wgu"][1],
+                                           ws["wdown"][0], ws["wdown"][1], l)
+            assert y is not None, "fused MLP tiles rejected this geometry"
+            return adapt(y, D), None
+        h, _ = jax.lax.scan(body, x, jnp.arange(L, dtype=jnp.int32))
+        return h
+    try:
+        timeit("pallas int8 + FUSED MLP (3 calls/layer)",
+               jax.jit(fused_run))
+    except Exception as e:
+        print(f"fused MLP: FAILED {type(e).__name__}: {str(e)[:160]}",
+              flush=True)
+
     # pallas with explicit tilings
     for bk_cap, bn in ((512, 512), (512, 1024), (8192, 512), (8192, 1024)):
         def step(n, x, l, ws, wbf, bk_cap=bk_cap, bn_=bn):
