@@ -13,7 +13,10 @@ vs_baseline is against the reference's published Qwen3-0.6B number
 
 import argparse
 import json
+import logging
+import os
 import sys
+import threading
 import time
 from random import randint, seed
 
@@ -84,7 +87,24 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny quick run")
     parser.add_argument("--phase-stats", action="store_true",
                         help="per-phase step accounting (prefill/mixed vs decode)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="engine sampler seed (baked into the step HLO: "
+                             "a fresh seed also forces genuinely cold "
+                             "compiles — used by tools/cold_start_check.sh)")
+    parser.add_argument("--max-warmup-secs", type=float,
+                        default=float(os.environ.get(
+                            "NANOVLLM_MAX_WARMUP_SECS", 0)),
+                        help="fail loudly (exit 3) if engine init + warmup "
+                             "exceeds this budget; 0 disables")
     args = parser.parse_args()
+
+    # Warmup/compile progress goes to STDERR (stdout carries only the JSON
+    # result line): round 4's driver run timed out after an 11-minute
+    # SILENT cold-cache warmup — indistinguishable from a hang.
+    logging.basicConfig(
+        stream=sys.stderr, level=logging.INFO,
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
+        datefmt="%H:%M:%S")
 
     from nanovllm_tpu import LLM, SamplingParams
 
@@ -104,6 +124,16 @@ def main():
         extra["num_kvcache_blocks"] = 64
 
     model = args.model or FAMILIES[args.family]()
+    watchdog = None
+    if args.max_warmup_secs > 0:
+        def _abort():
+            print(f"FATAL: engine init + warmup exceeded the "
+                  f"{args.max_warmup_secs:.0f}s budget "
+                  f"(cold compile cache?)", file=sys.stderr, flush=True)
+            os._exit(3)
+        watchdog = threading.Timer(args.max_warmup_secs, _abort)
+        watchdog.daemon = True
+        watchdog.start()
     llm = LLM(
         model,
         max_num_seqs=args.max_num_seqs,
@@ -114,6 +144,10 @@ def main():
         quantization=args.quantization,
         attention_backend=args.attention_backend,
         use_shard_map=args.use_shard_map,
+        seed=args.seed,
+        # The offline workload samples with temperature only — the filtered
+        # (top-k/top-p) jit variants would double cold-start compiles.
+        warmup_filtered="off",
         **extra,
     )
 
@@ -128,6 +162,8 @@ def main():
     # tiny warm run (jit shapes already compiled by engine warmup)
     llm.generate([[randint(0, 10000) for _ in range(32)]],
                  SamplingParams(max_tokens=8, ignore_eos=True), use_tqdm=False)
+    if watchdog is not None:
+        watchdog.cancel()
 
     t = time.time()
     if args.phase_stats:

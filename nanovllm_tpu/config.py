@@ -63,6 +63,18 @@ class Config:
     profile_trace_dir: Optional[str] = None
     use_graph_cache: bool = True  # persistent XLA compilation cache
     compile_cache_dir: str = os.path.expanduser("~/.cache/nanovllm_tpu_xla")
+    # Cold-start controls (round-4 postmortem: a fully serial warmup took
+    # 12m31s on a cold compile cache and blew the bench budget). XLA
+    # compiles release the GIL on this runtime (measured 2x for 2 threads),
+    # so warmup AOT-lowers every shape and compiles them on a thread pool,
+    # populating the persistent cache; the real dispatches then re-trace
+    # cheaply and deserialize. Needs use_graph_cache.
+    warmup_threads: int = 8
+    # The filtered (top-k/top-p) sampler variants DOUBLE the shape count and
+    # offline benches never use them: "background" AOT-compiles them on a
+    # daemon thread after warmup returns; "eager" blocks like round 4;
+    # "off" skips them (first filtered request pays an inline compile).
+    warmup_filtered: str = "background"  # eager | background | off
     prefill_token_buckets: tuple = _BUCKET_DEFAULT
     # Decode lane padding buckets: a decode/mixed step pads its S axis to the
     # smallest bucket >= live lanes instead of always max_num_seqs, so the

@@ -30,7 +30,7 @@ class LLMEngine:
     def __init__(self, model, **kwargs):
         config_keys = set(Config.__dataclass_fields__)
         cfg_kwargs = {k: v for k, v in kwargs.items() if k in config_keys}
-        unknown = set(kwargs) - config_keys - {"warmup"}
+        unknown = set(kwargs) - config_keys - {"warmup", "mesh"}
         if unknown:
             logger.warning("ignoring unknown engine kwargs: %s", sorted(unknown))
         self.config = Config(model=model, **cfg_kwargs)
@@ -39,7 +39,8 @@ class LLMEngine:
                 and self.tokenizer.eos_token_id is not None:
             self.config.eos = int(self.tokenizer.eos_token_id)
 
-        self.model_runner = ModelRunner(self.config)
+        self.model_runner = ModelRunner(self.config,
+                                        mesh=kwargs.get("mesh"))
         self.scheduler = Scheduler(
             self.config, self.model_runner.num_kvcache_blocks,
             non_cacheable_token_ids=self._non_cacheable_token_ids())

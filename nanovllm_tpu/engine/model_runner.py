@@ -517,18 +517,13 @@ class ModelRunner:
         tokens = self.dispatch(batch, extras)
         return np.asarray(tokens)[: batch.num_seqs].tolist()
 
-    def dispatch(self, batch: HostBatch, extras=None, prev_tokens=None,
-                 gather_idx=None):
-        """Enqueue one step and return the sampled-token DEVICE array (S,)
-        without a host sync. `prev_tokens` (a previous dispatch's return
-        value, still on device) with `gather_idx` (host (S,) int32: this
-        step's slot i takes prev slot gather_idx[i]) replaces `input_ids`
-        via an in-jit gather — the async-decode chain path.
-
-        ALL batch metadata packs into ONE int32 array: this runtime charges
-        ~0.5 ms of dispatch overhead PER ARGUMENT (tools/bench_dispatch.py:
-        10 args 5.76 ms vs 1 packed 1.31 ms), which dominated small-model
-        decode steps. f32 fields ride as bitcasts."""
+    def _pack_args(self, batch: HostBatch, extras=None, prev_tokens=None,
+                   gather_idx=None):
+        """Pack one step's metadata: returns ((flat_dev, prev_tokens,
+        dev_extras), statics) — the argument tail + static kwargs of
+        `_jit_step(params, cache, *tail, **statics)`. Shared by the real
+        dispatch path and the AOT warmup lowering (which substitutes
+        ShapeDtypeStructs for params/cache/prev_tokens)."""
         if extras is None and hasattr(self.adapter, "prepare_extras"):
             extras = self.adapter.prepare_extras(None, batch)
         put = self._put
@@ -564,10 +559,27 @@ class ModelRunner:
         dev_extras = None
         if extras is not None:
             dev_extras = {k: put(v) for k, v in extras.items()}
+        statics = dict(phase=phase, T=len(batch.input_ids),
+                       S=len(batch.context_lens), C=len(batch.chunk_seg),
+                       gather=gather, filtered_sampling=filtered)
+        return (put(flat), prev_tokens, dev_extras), statics
+
+    def dispatch(self, batch: HostBatch, extras=None, prev_tokens=None,
+                 gather_idx=None):
+        """Enqueue one step and return the sampled-token DEVICE array (S,)
+        without a host sync. `prev_tokens` (a previous dispatch's return
+        value, still on device) with `gather_idx` (host (S,) int32: this
+        step's slot i takes prev slot gather_idx[i]) replaces `input_ids`
+        via an in-jit gather — the async-decode chain path.
+
+        ALL batch metadata packs into ONE int32 array: this runtime charges
+        ~0.5 ms of dispatch overhead PER ARGUMENT (tools/bench_dispatch.py:
+        10 args 5.76 ms vs 1 packed 1.31 ms), which dominated small-model
+        decode steps. f32 fields ride as bitcasts."""
+        tail, statics = self._pack_args(batch, extras, prev_tokens,
+                                        gather_idx)
         self.cache, tokens = self._jit_step(
-            self.params, self.cache, put(flat), prev_tokens, dev_extras,
-            phase=phase, T=len(batch.input_ids), S=len(batch.context_lens),
-            C=len(batch.chunk_seg), gather=gather, filtered_sampling=filtered)
+            self.params, self.cache, *tail, **statics)
         try:
             # Enqueue the D2H copy NOW: on this runtime a blocking
             # np.asarray on a not-yet-transferred result takes a slow RPC
@@ -582,51 +594,155 @@ class ModelRunner:
         """Compile every batch shape up front (prefill buckets + decode,
         each in BOTH sampler modes) so serving never hits a compile stall —
         the role of the reference's warmup_model + torchair cache check
-        (llm_engine.py:53-87). The filtered (top-k/top-p) sampler is a
-        static jit arg; without warming it, the first filtered request used
-        to trigger a multi-minute mid-serving compile."""
+        (llm_engine.py:53-87). Cold-cache path: AOT-compile every shape on
+        a thread pool first (persistent-cache population, _aot_compile),
+        then run each once for real (validates + seeds the in-memory jit
+        cache). The filtered (top-k/top-p) sampler variants — a static jit
+        arg that DOUBLES the shape count and that offline benches never
+        dispatch — compile on a background daemon thread by default
+        (config.warmup_filtered); without warming them at all, the first
+        filtered request triggers a multi-minute mid-serving compile."""
         cfg = self.config
         t0 = time.perf_counter()
-        n = 0
-        for filtered in (False, True):
-            for bucket in cfg.prefill_token_buckets:
-                fake = _fake_batch(cfg, self.dummy_slot, bucket,
-                                   phase="prefill", filtered=filtered)
-                self.run_batch(fake)
-                n += 1
-                if cfg.chunked_prefill:
-                    fake = _fake_batch(cfg, self.dummy_slot, bucket,
-                                       phase="mixed", filtered=filtered)
-                    tok = self.dispatch(fake)
-                    n += 1
-                    if cfg.async_decode:
-                        # Hybrid chained-mixed variant: input_ids AND
-                        # prev_tokens + (T,) gather_idx in one pytree.
-                        fake2 = _fake_batch(cfg, self.dummy_slot, bucket,
-                                            phase="mixed", filtered=filtered)
-                        fake2.gather_idx = np.full(
-                            bucket + cfg.max_num_seqs, -1, np.int32)
-                        fake2.gather_idx[bucket] = 0
-                        tok = self.dispatch(fake2, prev_tokens=tok)
-                        n += 1
-                    np.asarray(tok)
-            for S in cfg.decode_seq_buckets:
-                fake = _fake_batch(cfg, self.dummy_slot, S,
-                                   phase="decode", filtered=filtered,
-                                   seq_pad=S)
-                tok = self.dispatch(fake)
-                n += 1
-                if cfg.async_decode:
-                    # The chain variant is its own pytree (prev_tokens +
-                    # gather_idx instead of input_ids) — warm it too.
-                    tok = self.dispatch(fake, prev_tokens=tok,
-                                        gather_idx=np.zeros(S, np.int32))
-                    n += 1
-                np.asarray(tok)
+        jobs = self._warmup_batches(filtered=False)
+        if cfg.warmup_filtered == "eager":
+            jobs += self._warmup_batches(filtered=True)
+        cache_on = cfg.use_graph_cache and not cfg.enforce_eager
+        if cache_on and cfg.warmup_threads > 1:
+            self._aot_compile(jobs, tag="warmup")
+        tok = None
+        for label, batch, chain in jobs:
+            if chain == "pure":
+                tok = self.dispatch(
+                    batch, prev_tokens=tok,
+                    gather_idx=np.zeros(batch.context_lens.shape[0],
+                                        np.int32))
+            elif chain == "hybrid":
+                tok = self.dispatch(batch, prev_tokens=tok)
+            else:
+                tok = self.dispatch(batch)
+            np.asarray(tok)
+            logger.info("warmup: ran %s", label)
         # No cache reset needed: pages are always written by a sequence's own
         # prefill before its context_lens exposes them to reads.
-        logger.info("warmup compiled %d shapes in %.1fs",
-                    n, time.perf_counter() - t0)
+        logger.info("warmup: %d shapes ready in %.1fs",
+                    len(jobs), time.perf_counter() - t0)
+        if cfg.warmup_filtered == "background" and cache_on:
+            import threading
+
+            fjobs = self._warmup_batches(filtered=True)
+
+            def work():
+                try:
+                    self._aot_compile(fjobs, tag="warmup-filtered[bg]")
+                except Exception as e:  # best-effort: first filtered
+                    # request falls back to an inline compile
+                    logger.warning("background filtered warmup failed: %s", e)
+
+            self._bg_warmup = threading.Thread(
+                target=work, daemon=True, name="warmup-filtered")
+            self._bg_warmup.start()
+
+    def _warmup_batches(self, filtered: bool):
+        """Every jit signature the engine can dispatch, as (label, batch,
+        chain) jobs. chain: None = plain dispatch, "hybrid" = mixed step
+        with gather_idx on the batch, "pure" = dedicated decode-chain shape.
+        Ordered so every chain job follows a plain one (in the execute pass
+        it reuses the previous dispatch's device token array)."""
+        cfg = self.config
+        jobs = []
+        suff = "-f" if filtered else ""
+        for bucket in cfg.prefill_token_buckets:
+            jobs.append((f"prefill-T{bucket}{suff}",
+                         _fake_batch(cfg, self.dummy_slot, bucket,
+                                     phase="prefill", filtered=filtered),
+                         None))
+            if cfg.chunked_prefill:
+                jobs.append((f"mixed-T{bucket}{suff}",
+                             _fake_batch(cfg, self.dummy_slot, bucket,
+                                         phase="mixed", filtered=filtered),
+                             None))
+                if cfg.async_decode:
+                    # Hybrid chained-mixed variant: input_ids AND
+                    # prev_tokens + (T,) gather_idx in one pytree.
+                    fake2 = _fake_batch(cfg, self.dummy_slot, bucket,
+                                        phase="mixed", filtered=filtered)
+                    fake2.gather_idx = np.full(
+                        bucket + cfg.max_num_seqs, -1, np.int32)
+                    fake2.gather_idx[bucket] = 0
+                    jobs.append((f"mixed-chain-T{bucket}{suff}", fake2,
+                                 "hybrid"))
+        for S in cfg.decode_seq_buckets:
+            fake = _fake_batch(cfg, self.dummy_slot, S, phase="decode",
+                               filtered=filtered, seq_pad=S)
+            jobs.append((f"decode-S{S}{suff}", fake, None))
+            if cfg.async_decode:
+                # The chain variant is its own pytree (prev_tokens +
+                # gather_idx instead of input_ids) — warm it too.
+                jobs.append((f"decode-chain-S{S}{suff}", fake, "pure"))
+        return jobs
+
+    def _tokens_aval(self):
+        """aval of the sampled-token array every dispatch returns. jit
+        outputs are UNCOMMITTED, so a plain SDS (no sharding) lowers to the
+        same module — attaching a sharding would inject sdy.sharding attrs
+        the real call doesn't have and fork the persistent-cache key."""
+        return jax.ShapeDtypeStruct((self.config.max_num_seqs,), jnp.int32)
+
+    def _lower_job(self, batch: HostBatch, chain):
+        """Trace+lower one warmup signature against ShapeDtypeStructs for
+        params/cache/prev_tokens (never touches — or donates — the live
+        buffers, so this is also safe from the background thread).
+
+        The SDS must lower to the EXACT module the real dispatch produces
+        or the persistent-cache key forks and warmup is wasted (round-5
+        postmortem: copying .sharding onto every SDS added sdy.sharding
+        attrs for args jit treats as uncommitted — real dispatches missed
+        the cache and recompiled everything serially). Rule: only COMMITTED
+        arrays (explicit device_put — the sharded-params path) carry their
+        sharding into the lowered module."""
+        prev = gidx = None
+        if chain == "pure":
+            prev = self._tokens_aval()
+            gidx = np.zeros(batch.context_lens.shape[0], np.int32)
+        elif chain == "hybrid":
+            prev = self._tokens_aval()
+        tail, statics = self._pack_args(batch, prev_tokens=prev,
+                                        gather_idx=gidx)
+        def aval(x):
+            committed = getattr(x, "_committed", False)
+            return jax.ShapeDtypeStruct(
+                x.shape, x.dtype,
+                sharding=x.sharding if committed else None)
+        params = jax.tree.map(aval, self.params)
+        cache = jax.tree.map(aval, self.cache)
+        return self._jit_step.lower(params, cache, *tail, **statics)
+
+    def _aot_compile(self, jobs, tag: str):
+        """Trace serially (tracing holds the GIL), compile on a thread pool
+        (XLA compiles release the GIL: measured ~2x for 2 threads on this
+        runtime). Compiled executables land in the persistent cache; the
+        later real dispatches re-trace cheaply and deserialize instead of
+        recompiling. Round-4 postmortem: the fully serial
+        dispatch-to-compile warmup took 12m31s from a cold cache and cost
+        the round its official benchmark (BENCH_r04 rc=124)."""
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(
+                max_workers=max(self.config.warmup_threads, 1)) as pool:
+            futures = {}
+            for label, batch, chain in jobs:
+                futures[pool.submit(self._lower_job(batch, chain).compile)] \
+                    = label
+                logger.info("%s: traced %s", tag, label)
+            done = 0
+            for fut in as_completed(futures):
+                fut.result()
+                done += 1
+                logger.info("%s: compiled %s (%d/%d, %.0fs elapsed)",
+                            tag, futures[fut], done, len(futures),
+                            time.perf_counter() - t0)
 
 
 def _fake_batch(cfg: Config, dummy_slot: int, T: int, phase: str,

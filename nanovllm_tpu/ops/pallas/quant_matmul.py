@@ -424,7 +424,10 @@ def _fused_mlp_tiles(T: int, K: int, I: int):
             + 2 * bt * bi * 4)              # g/u intermediates
     while bi > 128 and vmem > 12 * 2**20:
         bi //= 2
-        if I % bi:
+        # Mosaic refuses lane-dim blocks that aren't 128-multiples (e.g.
+        # 896 -> 448): fall back to the unfused chain rather than crash at
+        # kernel lowering (same guard as the int4 paths' bk check).
+        if I % bi or bi % 128:
             return 0, 0
         vmem = (bt * K * 2 + 2 * 3 * (K * bi) + bt * K * 6
                 + 2 * bt * bi * 4)

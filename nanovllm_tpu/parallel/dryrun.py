@@ -94,7 +94,7 @@ def run_dryrun(n_devices: int) -> None:
 
 def _raw_step_dryrun(n_devices: int) -> None:
     tp = n_devices
-    mesh = tplib.make_mesh(tp=tp, dp=1)
+    mesh = tplib.make_mesh(tp=tp)
 
     spec = dense.DenseSpec(
         vocab_size=512, hidden_size=128, num_layers=2, num_q_heads=16,

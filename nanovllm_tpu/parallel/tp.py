@@ -24,12 +24,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nanovllm_tpu.models.dense import DenseSpec
 
 TP_AXIS = "tp"
-DP_AXIS = "dp"
 
 
-def make_mesh(tp: int, dp: int = 1) -> Mesh:
-    devs = np.asarray(jax.devices()[: tp * dp]).reshape(dp, tp)
-    return Mesh(devs, (DP_AXIS, TP_AXIS))
+def make_mesh(tp: int, devices=None) -> Mesh:
+    """1-axis tp mesh over `devices` (default: the first tp global devices).
+    Data parallelism is NOT a second mesh axis here: replica serving is a
+    pool of independent engines each on its own tp mesh
+    (parallel/replicas.py) — continuous batching makes per-replica
+    schedules diverge, so a joint (dp, tp) step would force lockstep
+    padding across replicas."""
+    devs = np.asarray(devices if devices is not None
+                      else jax.devices()[:tp]).reshape(tp)
+    return Mesh(devs, (TP_AXIS,))
 
 
 def local_spec(spec: DenseSpec, tp: int) -> DenseSpec:

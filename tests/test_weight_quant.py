@@ -172,17 +172,36 @@ def test_fused_mlp_kernel_matches_chain():
     from nanovllm_tpu.ops.quant import quantize_weight
 
     rng = np.random.default_rng(2)
-    L, T, K, I = 2, 16, 128, 256
-    x = jnp.asarray(rng.standard_normal((T, K), dtype=np.float32))
-    wgu = jnp.asarray(rng.standard_normal((L, K, 2 * I), dtype=np.float32)) * 0.05
-    wdown = jnp.asarray(rng.standard_normal((L, I, K), dtype=np.float32)) * 0.05
-    qgu, sgu = quantize_weight(wgu)
-    qd, sd = quantize_weight(wdown)
-    for layer in range(L):
-        gu = quant_matmul(x, qgu, sgu, layer=jnp.int32(layer))
-        ref = quant_matmul(silu_and_mul(gu), qd, sd, layer=jnp.int32(layer))
-        got = fused_mlp_int8_stacked(x, qgu, sgu, qd, sd, jnp.int32(layer),
-                                     interpret=True)
-        assert got is not None
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=2e-2, atol=2e-3)
+    # Second geometry forces the kernel's likeliest failure points: I=1280
+    # gives n_i >= 2 (multi-chunk accumulation + up-window offset at i>0)
+    # and T=512 gives two t blocks (per-t acc reset) — ADVICE round 4.
+    for L, T, K, I in ((2, 16, 128, 256), (1, 512, 128, 1280)):
+        x = jnp.asarray(rng.standard_normal((T, K), dtype=np.float32))
+        wgu = jnp.asarray(
+            rng.standard_normal((L, K, 2 * I), dtype=np.float32)) * 0.05
+        wdown = jnp.asarray(
+            rng.standard_normal((L, I, K), dtype=np.float32)) * 0.05
+        qgu, sgu = quantize_weight(wgu)
+        qd, sd = quantize_weight(wdown)
+        for layer in range(L):
+            gu = quant_matmul(x, qgu, sgu, layer=jnp.int32(layer))
+            ref = quant_matmul(silu_and_mul(gu), qd, sd,
+                               layer=jnp.int32(layer))
+            got = fused_mlp_int8_stacked(x, qgu, sgu, qd, sd,
+                                         jnp.int32(layer), interpret=True)
+            assert got is not None
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-2, atol=2e-3)
+
+
+def test_fused_mlp_tiles_alignment_guard():
+    # VMEM-pressure halving must never emit a non-128-multiple bi (Mosaic
+    # refuses those at lowering) — ADVICE round 4 medium.
+    from nanovllm_tpu.ops.pallas.quant_matmul import _fused_mlp_tiles
+
+    for T in (8, 64, 256, 512):
+        for K in (128, 896, 1024, 8192):
+            for I in (128, 256, 896, 1280, 3584, 4864, 9728):
+                bt, bi = _fused_mlp_tiles(T, K, I)
+                if bt:
+                    assert T % bt == 0 and I % bi == 0 and bi % 128 == 0
