@@ -31,16 +31,17 @@ BASELINES = {
     "qwen2-0.5b": 6940.84,
     "llama3.2-1b": 5648.50,
     "qwen3-30b-a3b": 347.80,
-    # the reference publishes no MiniCPM number (its mini_cpm4.py has no
-    # bench row); vs_baseline is omitted for this family
+    # the reference publishes no MiniCPM or VL numbers (mini_cpm4.py /
+    # qwen3_vl.py have no bench rows); vs_baseline is omitted for them
     "minicpm4-0.5b": None,
+    "qwen3-vl": None,
 }
 BASELINE_QWEN3_0_6B = BASELINES["qwen3-0.6b"]
 
 
 from bench_model import (llama32_1b_config, minicpm4_0_5b_config,  # noqa: E402
                          qwen2_0_5b_config, qwen3_0_6b_config,
-                         qwen3_30b_a3b_config)
+                         qwen3_30b_a3b_config, qwen3_vl_config)
 
 FAMILIES = {
     "qwen3-0.6b": qwen3_0_6b_config,
@@ -48,6 +49,7 @@ FAMILIES = {
     "llama3.2-1b": llama32_1b_config,
     "qwen3-30b-a3b": qwen3_30b_a3b_config,
     "minicpm4-0.5b": minicpm4_0_5b_config,
+    "qwen3-vl": qwen3_vl_config,
 }
 
 # Engine/workload overrides for families that need them (30B-class on a
@@ -64,7 +66,49 @@ FAMILY_OVERRIDES = {
         extra=dict(quantized_init=True, num_kvcache_blocks=50,
                    prefill_step_tokens=512, gpu_memory_utilization=0.98),
     ),
+    # Multimodal: every request carries one image (grid 1x16x16 = 256
+    # patches -> 64 merged vision tokens through the tower + DeepStack).
+    # The workload is mixed vision+text prefill plus decode — the chip run
+    # the VL stack never had (VERDICT r4 #3).
+    "qwen3-vl": dict(
+        num_seqs=64, max_input_len=512, max_output_len=256,
+        max_num_seqs=64, max_model_len=1024,
+    ),
 }
+
+VL_GRID = (1, 16, 16)  # 256 patches -> 64 merged tokens per image
+
+
+def make_vl_requests(cfg, num_seqs, max_input_len, rng):
+    """Pre-expanded multimodal requests: [vision_start, 64 x image_token,
+    vision_end] spliced into random text ids, with random pixels."""
+    import numpy as np
+
+    t, h, w = VL_GRID
+    merge = cfg.vision_config.spatial_merge_size
+    n_vis = t * h * w // (merge * merge)
+    pin = (3 * cfg.vision_config.temporal_patch_size
+           * cfg.vision_config.patch_size ** 2)
+    special = {cfg.image_token_id, cfg.video_token_id,
+               cfg.vision_start_token_id, cfg.vision_end_token_id}
+
+    def text(n):
+        return [int(x) if int(x) not in special else 1
+                for x in rng.integers(0, 10000, size=n)]
+
+    reqs = []
+    for _ in range(num_seqs):
+        n_text = rng.integers(max(100, max_input_len // 2), max_input_len)
+        pre = int(rng.integers(1, max(2, n_text // 2)))
+        ids = (text(pre)
+               + [cfg.vision_start_token_id]
+               + [cfg.image_token_id] * n_vis
+               + [cfg.vision_end_token_id]
+               + text(int(n_text) - pre))
+        pixels = rng.standard_normal((t * h * w, pin)).astype(np.float32)
+        reqs.append({"input_ids": ids, "pixel_values": pixels,
+                     "image_grid_thw": [VL_GRID]})
+    return reqs
 
 
 def main():
@@ -151,13 +195,34 @@ def main():
         **extra,
     )
 
+    multimodal = llm.config.is_multimodal and not args.model
     in_lo = min(100, max(args.max_input_len // 2, 1))
     out_lo = min(100, max(args.max_output_len // 2, 1))
-    prompts = [[randint(0, 10000) for _ in range(randint(in_lo, args.max_input_len))]
-               for _ in range(args.num_seqs)]
     sps = [SamplingParams(temperature=0.6, ignore_eos=True,
                           max_tokens=randint(out_lo, args.max_output_len))
            for _ in range(args.num_seqs)]
+    if multimodal:
+        import numpy as np
+        rng = np.random.default_rng(0)
+        requests = make_vl_requests(llm.config.hf_config, args.num_seqs,
+                                    args.max_input_len, rng)
+        # vision tower alone: one image end-to-end through encode_image
+        adapter = llm.model_runner.adapter
+        import jax
+        enc = lambda px: jax.block_until_ready(adapter.vlmod.encode_image(  # noqa: E731
+            adapter.spec.vision, adapter.params["vision"],
+            jax.numpy.asarray(px), VL_GRID))
+        enc(requests[0]["pixel_values"])  # compile
+        t0 = time.perf_counter()
+        for _ in range(10):
+            enc(requests[0]["pixel_values"])
+        vision_ms = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"vision encode (grid {VL_GRID}): {vision_ms:.2f} ms/image",
+              file=sys.stderr)
+    else:
+        prompts = [[randint(0, 10000)
+                    for _ in range(randint(in_lo, args.max_input_len))]
+                   for _ in range(args.num_seqs)]
 
     # tiny warm run (jit shapes already compiled by engine warmup)
     llm.generate([[randint(0, 10000) for _ in range(32)]],
@@ -166,7 +231,9 @@ def main():
         watchdog.cancel()
 
     t = time.time()
-    if args.phase_stats:
+    if multimodal:
+        llm.generate_multimodal(requests, sps, use_tqdm=False)
+    elif args.phase_stats:
         # step() loop with per-phase accounting instead of generate().
         for p, sp in zip(prompts, sps):
             llm.add_request(p, sp)

@@ -75,6 +75,36 @@ def minicpm4_0_5b_config():
     return MiniCPM4Config()
 
 
+def qwen3_vl_config():
+    """Qwen3-VL with a 0.6B-class text tower (same decode shapes as
+    qwen3-0.6b) and a mid-size ViT. Exercises the full multimodal path on
+    hardware: vision tower forward, DeepStack injection into the first
+    text layers, mrope, vision-slice streaming across chunked prefill
+    (reference example/example_multimodal.py is its workload analogue)."""
+    from transformers import Qwen3VLConfig
+    from transformers.models.qwen3_vl.configuration_qwen3_vl import (
+        Qwen3VLTextConfig, Qwen3VLVisionConfig)
+
+    vc = Qwen3VLVisionConfig(
+        depth=8, hidden_size=1024, intermediate_size=4096, num_heads=16,
+        patch_size=16, temporal_patch_size=2, spatial_merge_size=2,
+        out_hidden_size=1024, num_position_embeddings=1024,
+        deepstack_visual_indexes=[0, 2, 4])
+    tc = Qwen3VLTextConfig(
+        vocab_size=151936, hidden_size=1024, intermediate_size=3072,
+        num_hidden_layers=28, num_attention_heads=16, num_key_value_heads=8,
+        head_dim=128, max_position_embeddings=40960, rope_theta=1000000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=True,
+        rope_scaling={"rope_type": "default", "mrope_section": [24, 20, 20],
+                      "mrope_interleaved": True})
+    cfg = Qwen3VLConfig(vision_config=vc.to_dict(), text_config=tc.to_dict(),
+                        image_token_id=151655, video_token_id=151656,
+                        vision_start_token_id=151652,
+                        vision_end_token_id=151653)
+    cfg.architectures = ["Qwen3VLForConditionalGeneration"]
+    return cfg
+
+
 def qwen3_30b_a3b_config():
     """Qwen3-30B-A3B (MoE, ~30.5B total / 3.3B active): 48 layers, 128
     experts top-8, hidden 2048. int4-packed this is ~15 GB — the largest

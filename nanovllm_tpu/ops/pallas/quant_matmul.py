@@ -107,13 +107,15 @@ def _build(T, K, N, bk, bn, x_dtype, out_dtype, interpret):
 
 
 def _qmm4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, out_ref, acc_ref,
-                 *, n_k: int, g: int, n_groups: int):
+                 *, n_k: int, g: int, n_groups: int, asym: bool = False):
     """Packed-int4 matmul tile: w_ref (bk, bn) bytes hold logical input rows
     [k*bk, (k+1)*bk) in the LOW nibbles (matching xlo) and rows
     [K/2 + k*bk, ...) in the HIGH nibbles (matching xhi). s_ref carries ALL
-    (n_groups, bn) per-group scales for this n-tile (a handful of rows —
-    blocking them would violate the 8-sublane rule), sliced dynamically:
-    lo rows use group k*gpb + gi, hi rows group n_groups/2 + k*gpb + gi."""
+    per-group scale rows for this n-tile (a handful of rows — blocking them
+    would violate the 8-sublane rule), sliced dynamically: lo rows use
+    group k*gpb + gi, hi rows group n_groups/2 + k*gpb + gi. Asymmetric
+    packs (unsigned nibbles, dequant q*s + m) carry the per-group minima as
+    n_groups extra rows below the scales."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -121,20 +123,30 @@ def _qmm4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, out_ref, acc_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     w = w_ref[...].astype(jnp.int32)
-    lo = ((w << 28) >> 28).astype(jnp.float32)          # sign-extended nibble
-    hi = ((w << 24) >> 28).astype(jnp.float32)
+    if asym:
+        u = w & 0xFF                                    # unsigned byte
+        lo = (u & 0xF).astype(jnp.float32)
+        hi = ((u >> 4) & 0xF).astype(jnp.float32)
+    else:
+        lo = ((w << 28) >> 28).astype(jnp.float32)      # sign-extended nibble
+        hi = ((w << 24) >> 28).astype(jnp.float32)
     bk = w.shape[0]
     gpb = max(bk // g, 1)
     for gi in range(gpb):
         rows = slice(gi * g, (gi + 1) * g)
         slo = s_ref[pl.ds(k * gpb + gi, 1), :]
         shi = s_ref[pl.ds(n_groups // 2 + k * gpb + gi, 1), :]
-        wl = (lo[rows] * slo).astype(xlo_ref.dtype)
-        wh = (hi[rows] * shi).astype(xhi_ref.dtype)
+        wl = lo[rows] * slo
+        wh = hi[rows] * shi
+        if asym:
+            wl += s_ref[pl.ds(n_groups + k * gpb + gi, 1), :]
+            wh += s_ref[pl.ds(n_groups + n_groups // 2 + k * gpb + gi, 1), :]
         acc_ref[...] += jax.lax.dot(
-            xlo_ref[:, rows], wl, preferred_element_type=jnp.float32)
+            xlo_ref[:, rows], wl.astype(xlo_ref.dtype),
+            preferred_element_type=jnp.float32)
         acc_ref[...] += jax.lax.dot(
-            xhi_ref[:, rows], wh, preferred_element_type=jnp.float32)
+            xhi_ref[:, rows], wh.astype(xhi_ref.dtype),
+            preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -142,17 +154,18 @@ def _qmm4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, out_ref, acc_ref,
 
 
 @functools.lru_cache(maxsize=128)
-def _build4(T, K2, N, G, bk, bn, g, x_dtype, interpret):
+def _build4(T, K2, N, G, bk, bn, g, x_dtype, interpret, asym=False):
     n_k = K2 // bk
+    rows = 2 * G if asym else G   # asym: [scales | minima]
     return pl.pallas_call(
-        functools.partial(_qmm4_kernel, n_k=n_k, g=g, n_groups=G),
+        functools.partial(_qmm4_kernel, n_k=n_k, g=g, n_groups=G, asym=asym),
         grid=(pl.cdiv(N, bn), n_k),  # trailing N block clipped on write
         in_specs=[
             pl.BlockSpec((T, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, bn), lambda n, k: (0, n),
+            pl.BlockSpec((rows, bn), lambda n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((T, bn), lambda n, k: (0, n),
@@ -220,7 +233,8 @@ def int8_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
 
 
 def int4_matmul(x, w, scale, *, interpret: bool = False):
-    """y = x @ dequant(w): w (K/2, N) packed int4, scale (K/g, N) f32.
+    """y = x @ dequant(w): w (K/2, N) packed int4, scale (K/g, N) f32
+    symmetric or (2, K/g, N) asymmetric (plane 1 = per-group minima).
 
     Grid (N/bn, K2/bk): each w tile unpacks both nibble halves in VMEM and
     contracts them against the matching x column blocks (the halves map to
@@ -229,8 +243,10 @@ def int4_matmul(x, w, scale, *, interpret: bool = False):
     T, K = x.shape
     K2, N = w.shape
     assert K == 2 * K2, (K, K2)
-    G = scale.shape[0]          # number of groups over K
+    asym = scale.ndim == 3
+    G = scale.shape[-2]          # number of groups over K
     g = K // G
+    srows = 2 * G if asym else G
     bk = _pick_k_tile(K2)
     bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
     # VMEM budget: two x blocks + w + scales are double-buffered by the grid
@@ -238,7 +254,7 @@ def int4_matmul(x, w, scale, *, interpret: bool = False):
     # tiles until the estimate fits the ~16M scoped limit with headroom.
     def vmem(bk_, bn_):
         return (2 * (2 * T * bk_ * x.dtype.itemsize + bk_ * bn_
-                     + G * bn_ * 4)
+                     + srows * bn_ * 4)
                 + T * bn_ * 4 + T * bn_ * x.dtype.itemsize)
 
     while bk and bn and vmem(bk, bn) > 12 * 2**20:
@@ -258,23 +274,29 @@ def int4_matmul(x, w, scale, *, interpret: bool = False):
         return jnp.dot(x, wf.astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
     kernel = _build4(T, K2, N, G, bk, bn, g, jnp.dtype(x.dtype).name,
-                     interpret)
-    # x split into the lo/hi column halves matching the nibble packing.
-    return kernel(x[:, : K // 2], x[:, K // 2:], w, scale)
+                     interpret, asym)
+    # x split into the lo/hi column halves matching the nibble packing;
+    # asym scales flatten to (2G, N) rows [scales | minima] (free reshape).
+    return kernel(x[:, : K // 2], x[:, K // 2:], w,
+                  scale.reshape(srows, N))
 
 
 def _qmm4_stacked_kernel(layer_ref, xlo_ref, xhi_ref, w_ref, s_ref, out_ref,
-                         acc_ref, *, n_k: int, g: int, n_groups: int):
+                         acc_ref, *, n_k: int, g: int, n_groups: int,
+                         asym: bool = False):
     del layer_ref
     _qmm4_kernel(xlo_ref, xhi_ref, w_ref.at[0], s_ref.at[0], out_ref,
-                 acc_ref, n_k=n_k, g=g, n_groups=n_groups)
+                 acc_ref, n_k=n_k, g=g, n_groups=n_groups, asym=asym)
 
 
 @functools.lru_cache(maxsize=128)
-def _build4_stacked(L, T, K2, N, G, bk, bn, g, x_dtype, interpret):
+def _build4_stacked(L, T, K2, N, G, bk, bn, g, x_dtype, interpret,
+                    asym=False):
     n_k = K2 // bk
+    rows = 2 * G if asym else G   # asym: [scales | minima]
     return pl.pallas_call(
-        functools.partial(_qmm4_stacked_kernel, n_k=n_k, g=g, n_groups=G),
+        functools.partial(_qmm4_stacked_kernel, n_k=n_k, g=g, n_groups=G,
+                          asym=asym),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(pl.cdiv(N, bn), n_k),
@@ -285,7 +307,7 @@ def _build4_stacked(L, T, K2, N, G, bk, bn, g, x_dtype, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bk, bn), lambda n, k, l: (l[0], k, n),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, bn), lambda n, k, l: (l[0], 0, n),
+                pl.BlockSpec((1, rows, bn), lambda n, k, l: (l[0], 0, n),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((T, bn), lambda n, k, l: (0, n),
@@ -300,19 +322,22 @@ def _build4_stacked(L, T, K2, N, G, bk, bn, g, x_dtype, interpret):
 
 
 def int4_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
-    """Layer-stacked packed-int4 matmul: w (L, K/2, N), scale (L, K/g, N),
-    layer a traced scalar riding the index maps (no per-layer slice)."""
+    """Layer-stacked packed-int4 matmul: w (L, K/2, N), scale (L, K/g, N)
+    symmetric or (L, 2, K/g, N) asymmetric, layer a traced scalar riding
+    the index maps (no per-layer slice)."""
     T, K = x.shape
     L, K2, N = w.shape
     assert K == 2 * K2, (K, K2)
-    G = scale.shape[1]
+    asym = scale.ndim == 4
+    G = scale.shape[-2]
     g = K // G
+    srows = 2 * G if asym else G
     bk = _pick_k_tile(K2)
     bn = 512 if N >= 512 else _pick_tile(N, (256, 128))
 
     def vmem(bk_, bn_):
         return (2 * (2 * T * bk_ * x.dtype.itemsize + bk_ * bn_
-                     + G * bn_ * 4)
+                     + srows * bn_ * 4)
                 + T * bn_ * 4 + T * bn_ * x.dtype.itemsize)
 
     while bk and bn and vmem(bk, bn) > 12 * 2**20:
@@ -334,9 +359,10 @@ def int4_matmul_stacked(x, w, scale, layer, *, interpret: bool = False):
         return jnp.dot(x, wf.astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
     kernel = _build4_stacked(L, T, K2, N, G, bk, bn, g,
-                             jnp.dtype(x.dtype).name, interpret)
+                             jnp.dtype(x.dtype).name, interpret, asym)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
-    return kernel(layer, x[:, : K // 2], x[:, K // 2:], w, scale)
+    return kernel(layer, x[:, : K // 2], x[:, K // 2:], w,
+                  scale.reshape(L, srows, N))
 
 
 def _fused_mlp_kernel(layer_ref, x_ref, wg_ref, wu_ref, sg_ref, su_ref,

@@ -12,9 +12,16 @@ north-star features (BASELINE.json):
 
 Param convention: a quantized weight `w` (.., in, out) is accompanied by
 `w_scale` in the same params dict — (.., out) f32 for int8;
-(.., in/group, out) f32 for int4 (detected by ndim, and the int4 value
-tensor has in/2 packed rows). Model code detects quantization by the
-presence of the scale entry (a static pytree property).
+(.., in/group, out) f32 for symmetric int4; (.., 2, in/group, out) f32 for
+ASYMMETRIC int4 (plane 0 = scales, plane 1 = per-group minima; detected by
+ndim, and the int4 value tensor has in/2 packed rows). Model code detects
+quantization by the presence of the scale entry (a static pytree property).
+
+Asymmetric int4 (round-4 BUILD_NOTES side experiment, implemented round 5):
+dequant = q_u * scale + min with UNSIGNED nibbles q_u in [0, 15] — 16
+levels spanning each group's actual range instead of 15 levels forced
+symmetric around zero. Measured KL(bf16||int4) roughly halves; the cost is
+one extra f32 row per group (+0.8% weight traffic at group 128).
 """
 
 from __future__ import annotations
@@ -66,25 +73,79 @@ def quantize_weight_int4(w, group: int = INT4_GROUP, eps: float = 1e-8,
     return packed.astype(jnp.int8), scale
 
 
+def quantize_weight_int4_asym(w, group: int = INT4_GROUP, eps: float = 1e-8,
+                              row_shards: int = 1):
+    """Asymmetric group-wise int4: w (..., K, N) -> (packed int8 (..., K/2,
+    N), scale+min (..., 2, K/g, N)). dequant = q_u * scale + min, q_u the
+    UNSIGNED nibble in [0, 15]. Same low/high logical-halves byte layout
+    and row_shards contract as quantize_weight_int4."""
+    if row_shards > 1:
+        K = w.shape[-2]
+        assert K % row_shards == 0, (K, row_shards)
+        Ks = K // row_shards
+        blocked = w.reshape(*w.shape[:-2], row_shards, Ks, w.shape[-1])
+        packed, sm = quantize_weight_int4_asym(blocked, group, eps)
+        packed = packed.reshape(*w.shape[:-2], K // 2, w.shape[-1])
+        # (..., rs, 2, Ks/g, N) -> (..., 2, K/g, N) shard-major groups
+        sm = jnp.swapaxes(sm, -4, -3).reshape(
+            *w.shape[:-2], 2, -1, w.shape[-1])
+        return packed, sm
+    wf = w.astype(jnp.float32)
+    K = wf.shape[-2]
+    assert K % 2 == 0, K
+    while K % (2 * group):
+        group //= 2
+    assert group >= 1
+    grouped = wf.reshape(*wf.shape[:-2], K // group, group, wf.shape[-1])
+    mx = jnp.max(grouped, axis=-2)
+    mn = jnp.min(grouped, axis=-2)
+    scale = jnp.maximum(mx - mn, eps) / 15.0             # (..., K/g, N)
+    q = jnp.clip(jnp.round((grouped - mn[..., None, :])
+                           / scale[..., None, :]), 0, 15)
+    q = q.reshape(wf.shape).astype(jnp.int32)            # (..., K, N)
+    lo = q[..., : K // 2, :]
+    hi = q[..., K // 2:, :]
+    packed = (lo | (hi << 4)).astype(jnp.int8)           # bit-truncating cast
+    return packed, jnp.stack([scale, mn], axis=-3)       # (..., 2, K/g, N)
+
+
 def unpack_int4(packed, scale, row_shards: int = 1):
-    """Inverse of quantize_weight_int4 -> float32 (..., K, N); the group
-    size is derived from the shapes (K / num_groups). Pass the same
-    row_shards the pack was built with (each shard block unpacks
-    independently); a shard's LOCAL slice is always row_shards=1."""
+    """Inverse of quantize_weight_int4 / quantize_weight_int4_asym ->
+    float32 (..., K, N); asymmetric packs are detected by the scale rank
+    (extra leading size-2 scale/min axis) and the group size is derived
+    from the shapes (K / num_groups). Pass the same row_shards the pack was
+    built with (each shard block unpacks independently); a shard's LOCAL
+    slice is always row_shards=1."""
+    asym = scale.ndim == packed.ndim + 1
     if row_shards > 1:
         Kp, N = packed.shape[-2:]
         pb = packed.reshape(*packed.shape[:-2], row_shards,
                             Kp // row_shards, N)
-        sb = scale.reshape(*scale.shape[:-2], row_shards,
-                           scale.shape[-2] // row_shards, N)
+        if asym:
+            sb = scale.reshape(*scale.shape[:-3], 2, row_shards,
+                               scale.shape[-2] // row_shards, N)
+            sb = jnp.swapaxes(sb, -4, -3)   # (..., rs, 2, Ks/g, N)
+        else:
+            sb = scale.reshape(*scale.shape[:-2], row_shards,
+                               scale.shape[-2] // row_shards, N)
         return unpack_int4(pb, sb).reshape(*packed.shape[:-2], 2 * Kp, N)
     p = packed.astype(jnp.int32)
-    lo = (p << 28) >> 28                                # sign-extend nibble
-    hi = (p << 24) >> 28
+    if asym:
+        u = p & 0xFF                                     # unsigned byte
+        lo = u & 0xF
+        hi = (u >> 4) & 0xF
+    else:
+        lo = (p << 28) >> 28                             # sign-extend nibble
+        hi = (p << 24) >> 28
     q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
     K = q.shape[-2]
     group = K // scale.shape[-2]
     grouped = q.reshape(*q.shape[:-2], K // group, group, q.shape[-1])
+    if asym:
+        s = scale[..., 0, :, :]
+        m = scale[..., 1, :, :]
+        deq = grouped * s[..., None, :] + m[..., None, :]
+        return deq.reshape(q.shape)
     return (grouped * scale[..., None, :]).reshape(q.shape)
 
 
@@ -156,7 +217,7 @@ def quant_matmul(x, w, scale=None, layer=None):
             w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         return x @ w
 
-    int4 = scale.ndim == w.ndim  # group axis present
+    int4 = scale.ndim >= w.ndim  # group axis present (+scale/min for asym)
     if jax.default_backend() == "tpu" and x.ndim == 2:
         from nanovllm_tpu.ops.pallas.quant_matmul import (
             int4_matmul, int4_matmul_stacked, int8_matmul,
@@ -180,6 +241,17 @@ def quant_matmul(x, w, scale=None, layer=None):
     return (y * scale).astype(x.dtype)
 
 
+def _fused_mlp_max_t() -> int:
+    """Token-count gate for the fused MLP kernel (ADVICE round 4): its
+    (T/bt, n_i) grid re-streams the whole wgu+wdown stacks T/bt times per
+    layer, so it wins only where the step is call-overhead-bound (decode /
+    small mixed steps) and loses to the stream-each-weight-once unfused
+    chain at prefill sizes. 0 disables the kernel entirely (A/B switch)."""
+    import os
+
+    return int(os.environ.get("NANOVLLM_FUSED_MLP_MAX_T", 256))
+
+
 def fused_mlp(x, wgu, sgu, wdown, sdown, layer):
     """silu_and_mul(x @ deq(wgu[layer])) @ deq(wdown[layer]) as ONE Pallas
     call when the int8 layer-stacked fast path applies; None otherwise
@@ -189,7 +261,8 @@ def fused_mlp(x, wgu, sgu, wdown, sdown, layer):
 
     if (sgu is None or sdown is None
             or sgu.ndim != 2 or sdown.ndim != 2      # int8 per-channel only
-            or jax.default_backend() != "tpu" or x.ndim != 2):
+            or jax.default_backend() != "tpu" or x.ndim != 2
+            or x.shape[0] > _fused_mlp_max_t()):
         return None
     from nanovllm_tpu.ops.pallas.quant_matmul import fused_mlp_int8_stacked
 
@@ -202,12 +275,18 @@ ROW_PARALLEL_WEIGHTS = ("wo", "wdown")
 
 
 def quantize_dense_params(params: dict, quantize_lm_head: bool = True,
-                          bits: int = 8, row_shards: int = 1) -> dict:
+                          bits: int = 8, row_shards: int = 1,
+                          asym: bool = True) -> dict:
     """Quantize the big matmul weights of a dense params pytree in place
     (returns a new dict; embed and norms stay high-precision). bits: 8
-    (per-channel) or 4 (group-wise, packed). row_shards: tensor-parallel
-    degree — int4 row-parallel weights pack per shard block."""
-    qfn = quantize_weight if bits == 8 else quantize_weight_int4
+    (per-channel) or 4 (group-wise, packed; `asym` selects the
+    zero-point pack — KL roughly halves vs symmetric, tools/perplexity.py).
+    row_shards: tensor-parallel degree — int4 row-parallel weights pack
+    per shard block."""
+    if bits == 8:
+        qfn = quantize_weight
+    else:
+        qfn = quantize_weight_int4_asym if asym else quantize_weight_int4
     out = dict(params)
     layers = dict(params["layers"])
     for name in LAYER_WEIGHTS:
@@ -231,13 +310,15 @@ def quantize_dense_params(params: dict, quantize_lm_head: bool = True,
 EXPERT_WEIGHTS = ("w_gate_up", "w_down")
 
 
-def quantize_params(params: dict, bits: int = 8, row_shards: int = 1) -> dict:
+def quantize_params(params: dict, bits: int = 8, row_shards: int = 1,
+                    asym: bool = True) -> dict:
     """Entry point used by the engine: dense weights always; MoE expert
     stacks additionally at int4 in the BIASED plane-scale pack (the
     grouped-MLP kernel's format — ops/pallas/moe_int4.py; the XLA
     fallback unpacks the same format). int8 experts are not implemented —
     they stay bf16."""
-    out = quantize_dense_params(params, bits=bits, row_shards=row_shards)
+    out = quantize_dense_params(params, bits=bits, row_shards=row_shards,
+                                asym=asym)
     if bits == 4:
         layers = dict(out["layers"])
         for name in EXPERT_WEIGHTS:

@@ -104,23 +104,37 @@ def param_pspecs(spec: DenseSpec, params: dict | None = None,
         if lm_sc is not None and getattr(lm_sc, "ndim", 1) == 2:
             # int4 lm_head scale (D/g, V): follows the vocab (output) axis
             pspecs["lm_head_scale"] = P(None, TP_AXIS) if vocab_sharded else P()
+        elif lm_sc is not None and getattr(lm_sc, "ndim", 1) == 3:
+            # asymmetric int4 lm_head scale (2, D/g, V)
+            pspecs["lm_head_scale"] = (P(None, None, TP_AXIS)
+                                       if vocab_sharded else P())
     return prune_to(params, pspecs) if params is not None else pspecs
 
 
 def _int4_scale_fixup(layer_pspecs: dict, player: dict) -> None:
     """int4 scales are group-wise (.., K/g, N) — one rank higher than int8's
     per-channel (.., N) — and shard along the same axis as their weight:
-    output axis for column-parallel, input-group axis for row-parallel."""
+    output axis for column-parallel, input-group axis for row-parallel.
+    Asymmetric int4 scales carry one more size-2 [scale, min] axis
+    (.., 2, K/g, N); the sharded axis is the same."""
     int4_specs = {
         "wqkv_scale": P(None, None, TP_AXIS),
         "wgu_scale": P(None, None, TP_AXIS),
         "wo_scale": P(None, TP_AXIS, None),
         "wdown_scale": P(None, TP_AXIS, None),
     }
+    asym_specs = {
+        "wqkv_scale": P(None, None, None, TP_AXIS),
+        "wgu_scale": P(None, None, None, TP_AXIS),
+        "wo_scale": P(None, None, TP_AXIS, None),
+        "wdown_scale": P(None, None, TP_AXIS, None),
+    }
     for name, spec4 in int4_specs.items():
         sc = player.get(name)
         if sc is not None and getattr(sc, "ndim", 0) == 3:
             layer_pspecs[name] = spec4
+        elif sc is not None and getattr(sc, "ndim", 0) == 4:
+            layer_pspecs[name] = asym_specs[name]
 
 
 def moe_param_pspecs(mspec, params: dict | None = None,

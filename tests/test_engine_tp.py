@@ -78,7 +78,8 @@ def test_dense_engine_tp_int4_weights():
     # outputs must match exactly — isolating the sharding math from
     # quantization noise.
     from nanovllm_tpu.ops.quant import (LAYER_WEIGHTS, ROW_PARALLEL_WEIGHTS,
-                                        quantize_weight_int4, unpack_int4)
+                                        quantize_weight_int4_asym,
+                                        unpack_int4)
 
     cfg = _dense_cfg()
     out8 = _generate(cfg, TP, quantization="int4")
@@ -88,11 +89,11 @@ def test_dense_engine_tp_int4_weights():
     layers = dict(params["layers"])
     for name in LAYER_WEIGHTS:
         rs = TP if name in ROW_PARALLEL_WEIGHTS else 1
-        q, s = quantize_weight_int4(layers[name], row_shards=rs)
+        q, s = quantize_weight_int4_asym(layers[name], row_shards=rs)
         layers[name] = unpack_int4(q, s, row_shards=rs).astype(
             layers[name].dtype)
     params["layers"] = layers
-    q, s = quantize_weight_int4(params["lm_head"])
+    q, s = quantize_weight_int4_asym(params["lm_head"])
     params["lm_head"] = unpack_int4(q, s).astype(params["lm_head"].dtype)
     llm.model_runner.params = params
     out1 = [o["token_ids"]

@@ -115,6 +115,96 @@ def test_int4_pack_roundtrip_and_matmul():
     assert rel < 0.2, rel
 
 
+def test_int4_asym_roundtrip_beats_symmetric():
+    from nanovllm_tpu.ops.quant import (quantize_weight_int4,
+                                        quantize_weight_int4_asym,
+                                        unpack_int4)
+
+    rng = np.random.default_rng(7)
+    # realistic skew: gaussian + a positive shift per channel (asymmetric
+    # ranges are where zero-point quantization wins)
+    w = (rng.standard_normal((512, 256)) * 0.05
+         + rng.random((1, 256)) * 0.05).astype(np.float32)
+    wj = jnp.asarray(w)
+    p_s, s_s = quantize_weight_int4(wj)
+    p_a, s_a = quantize_weight_int4_asym(wj)
+    assert p_a.shape == (256, 256) and p_a.dtype == jnp.int8
+    assert s_a.shape == (2, 512 // 128, 256)
+    err_s = np.abs(np.asarray(unpack_int4(p_s, s_s)) - w).mean()
+    err_a = np.abs(np.asarray(unpack_int4(p_a, s_a)) - w).mean()
+    assert err_a < err_s, (err_a, err_s)
+    # exact roundtrip bound: half a step per element
+    step = np.asarray(s_a)[0].repeat(128, axis=0)
+    got = np.asarray(unpack_int4(p_a, s_a))
+    assert (np.abs(got - w) <= step / 2 + 1e-6).all()
+
+
+def test_int4_asym_row_shards_roundtrip():
+    from nanovllm_tpu.ops.quant import quantize_weight_int4_asym, unpack_int4
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.standard_normal((512, 128), dtype=np.float32))
+    p1, s1 = quantize_weight_int4_asym(w)
+    p2, s2 = quantize_weight_int4_asym(w, row_shards=2)
+    assert p2.shape == p1.shape and s2.shape == s1.shape
+    got = np.asarray(unpack_int4(p2, s2, row_shards=2))
+    step = np.swapaxes(np.asarray(s2), 0, 1)[:, 0].repeat(128, axis=0)[:512]
+    assert (np.abs(got - np.asarray(w)) <= step / 2 + 1e-6).all()
+    # each shard's half must independently equal a row_shards=1 pack of it
+    for r in (0, 1):
+        pr, sr = quantize_weight_int4_asym(w[r * 256: (r + 1) * 256])
+        np.testing.assert_array_equal(
+            np.asarray(p2)[r * 128: (r + 1) * 128], np.asarray(pr))
+
+
+def test_pallas_int4_asym_matmul_matches_xla_path():
+    from nanovllm_tpu.ops.pallas.quant_matmul import (int4_matmul,
+                                                      int4_matmul_stacked)
+    from nanovllm_tpu.ops.quant import quantize_weight_int4_asym, unpack_int4
+
+    rng = np.random.default_rng(9)
+    T, K, N, L = 16, 1024, 512, 2
+    x = jnp.asarray(rng.standard_normal((T, K), dtype=np.float32)
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((L, K, N), dtype=np.float32)) * 0.05
+    packed, scale = quantize_weight_int4_asym(w)
+    assert scale.shape == (L, 2, K // 128, N)
+    for layer in range(L):
+        ref = np.asarray(
+            jnp.dot(x, unpack_int4(packed[layer], scale[layer]
+                                   ).astype(x.dtype),
+                    preferred_element_type=jnp.float32), np.float32)
+        got = np.asarray(int4_matmul(x, packed[layer], scale[layer],
+                                     interpret=True), np.float32)
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+        got_st = np.asarray(int4_matmul_stacked(
+            x, packed, scale, jnp.int32(layer), interpret=True), np.float32)
+        np.testing.assert_allclose(got_st, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_engine_e2e_int4_asym_weights():
+    from transformers import Qwen3Config
+
+    from nanovllm_tpu import LLM, SamplingParams
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256,
+        architectures=["Qwen3ForCausalLM"])
+    llm = LLM(cfg, max_num_seqs=4, max_model_len=128, kvcache_block_size=16,
+              num_kvcache_blocks=64, prefill_token_buckets=(64, 128),
+              prefill_chunk=16, attention_backend="jnp", warmup=False,
+              quantization="int4", dtype="float32")
+    layers = llm.model_runner.params["layers"]
+    assert layers["wqkv_scale"].ndim == 4  # asym: (L, 2, K/g, N)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    out = llm.generate([[1, 2, 3]], sp, use_tqdm=False)
+    assert len(out[0]["token_ids"]) == 8
+    again = llm.generate([[1, 2, 3]], sp, use_tqdm=False)
+    assert again[0]["token_ids"] == out[0]["token_ids"]
+
+
 def test_pallas_int4_matmul_matches_xla_path():
     from nanovllm_tpu.ops.pallas.quant_matmul import int4_matmul
     from nanovllm_tpu.ops.quant import quantize_weight_int4, unpack_int4
@@ -148,10 +238,11 @@ def test_engine_e2e_int4_weights():
     sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
     llm = LLM(cfg, quantization="int4", **kw)
     layers = llm.model_runner.params["layers"]
-    # weights really are packed: wqkv (L, K/2, N) int8 + (L, K/g, N) scales
+    # weights really are packed: wqkv (L, K/2, N) int8 + asymmetric
+    # (L, 2, K/g, N) scale+min stacks (the round-5 default int4 pack)
     assert layers["wqkv"].dtype == jnp.int8
     assert layers["wqkv"].shape[1] == 32  # hidden 64 -> 32 packed rows
-    assert layers["wqkv_scale"].ndim == 3
+    assert layers["wqkv_scale"].ndim == 4
     out1 = llm.generate([[1, 2, 3]], sp, use_tqdm=False)
     out2 = llm.generate([[7, 8]], sp, use_tqdm=False)
     assert len(out1[0]["token_ids"]) == 8 and len(out2[0]["token_ids"]) == 8

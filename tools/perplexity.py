@@ -97,11 +97,12 @@ def run_variant(config_obj, variant, streams, args, ref_logits=None):
     adapter = get_adapter(cfg)
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     params = adapter.load_params(cfg.model_path, dtype, jax.random.key(0))
-    if variant in ("int8_weights", "int4_weights"):
+    if variant in ("int8_weights", "int4_weights", "int4_sym_weights"):
         from nanovllm_tpu.ops.quant import quantize_dense_params
 
         params = quantize_dense_params(
-            params, bits=4 if variant == "int4_weights" else 8)
+            params, bits=8 if variant == "int8_weights" else 4,
+            asym=variant == "int4_weights")
     npages = -(-args.seq_len // args.block_size)
 
     def fresh_cache():
@@ -138,7 +139,8 @@ def main():
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--f32", action="store_true", help="f32 compute (CPU parity runs)")
     p.add_argument("--variants",
-               default="bf16,int8_kv,int8_weights,int4_weights")
+               default="bf16,int8_kv,int8_weights,int4_weights,"
+                       "int4_sym_weights")
     args = p.parse_args()
 
     if args.model:
