@@ -206,16 +206,20 @@ def main():
         rng = np.random.default_rng(0)
         requests = make_vl_requests(llm.config.hf_config, args.num_seqs,
                                     args.max_input_len, rng)
-        # vision tower alone: one image end-to-end through encode_image
-        adapter = llm.model_runner.adapter
+        # vision tower alone: one image through the engine's jitted encoder
+        # (registry.VLAdapter._ensure_vision uses the same jit)
+        import functools
+
         import jax
-        enc = lambda px: jax.block_until_ready(adapter.vlmod.encode_image(  # noqa: E731
-            adapter.spec.vision, adapter.params["vision"],
-            jax.numpy.asarray(px), VL_GRID))
-        enc(requests[0]["pixel_values"])  # compile
+        adapter = llm.model_runner.adapter
+        jenc = jax.jit(functools.partial(
+            adapter.vlmod.encode_image, adapter.spec.vision, grid=VL_GRID))
+        px = jax.numpy.asarray(requests[0]["pixel_values"])
+        jax.block_until_ready(jenc(adapter.params["vision"], px))  # compile
         t0 = time.perf_counter()
         for _ in range(10):
-            enc(requests[0]["pixel_values"])
+            out = jenc(adapter.params["vision"], px)
+        jax.block_until_ready(out)
         vision_ms = (time.perf_counter() - t0) / 10 * 1e3
         print(f"vision encode (grid {VL_GRID}): {vision_ms:.2f} ms/image",
               file=sys.stderr)

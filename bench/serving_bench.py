@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--max-model-len", type=int, default=2048)
     parser.add_argument("--attention-backend", default="auto")
     parser.add_argument("--kv-cache-dtype", default="int8")
+    parser.add_argument("--prefill-step-tokens", type=int, default=2048,
+                        help="prefill-token cap per mixed step: smaller = "
+                             "shorter mixed steps = lower TPOT, more steps "
+                             "per prompt = higher TTFT (VERDICT r4 #9 knob)")
     parser.add_argument("--smoke", action="store_true")
     args = parser.parse_args()
 
@@ -61,7 +65,8 @@ def main():
                   warmup=False, max_model_len=512, max_num_seqs=8)
     else:
         kw = dict(max_model_len=args.max_model_len,
-                  max_num_seqs=args.max_num_seqs)
+                  max_num_seqs=args.max_num_seqs,
+                  prefill_step_tokens=args.prefill_step_tokens)
     llm = LLM(model, attention_backend=args.attention_backend,
               kv_cache_dtype=args.kv_cache_dtype, **kw)
 
