@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--max-model-len", type=int, default=2048)
     parser.add_argument("--attention-backend", default="auto")
     parser.add_argument("--kv-cache-dtype", default="int8")
+    parser.add_argument("--quantization", default="int8",
+                        help="weight quantization (int8 matches bench.py's "
+                             "offline default; 'none' for bf16 weights)")
     parser.add_argument("--prefill-step-tokens", type=int, default=2048,
                         help="prefill-token cap per mixed step: smaller = "
                              "shorter mixed steps = lower TPOT, more steps "
@@ -67,8 +70,13 @@ def main():
         kw = dict(max_model_len=args.max_model_len,
                   max_num_seqs=args.max_num_seqs,
                   prefill_step_tokens=args.prefill_step_tokens)
+    quant = None if args.quantization in (None, "none") else args.quantization
     llm = LLM(model, attention_backend=args.attention_backend,
-              kv_cache_dtype=args.kv_cache_dtype, **kw)
+              kv_cache_dtype=args.kv_cache_dtype, quantization=quant, **kw)
+    # Serve only once FULLY warm: the background filtered-sampler compile
+    # thread's tracing bursts hold the GIL and add ~9 ms to TPOT p50 if
+    # left running under load.
+    llm.wait_for_warmup()
 
     in_lo = min(100, max(args.max_input_len // 2, 1))
     out_lo = min(100, max(args.max_output_len // 2, 1))

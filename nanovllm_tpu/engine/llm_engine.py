@@ -50,6 +50,20 @@ class LLMEngine:
         if kwargs.get("warmup", True):
             self.model_runner.warmup()
 
+    def wait_for_warmup(self, timeout: Optional[float] = None) -> bool:
+        """Block until the BACKGROUND part of warmup (the filtered-sampler
+        jit variants, config.warmup_filtered="background") has finished
+        compiling. Latency-sensitive callers (serving benches, readiness
+        probes) call this before accepting traffic: the background thread's
+        tracing holds the GIL in bursts and visibly inflates step-dispatch
+        jitter (measured +9 ms TPOT p50) if left running under load.
+        Returns True when warmup is fully done."""
+        thread = getattr(self.model_runner, "_bg_warmup", None)
+        if thread is not None:
+            thread.join(timeout)
+            return not thread.is_alive()
+        return True
+
     def _load_tokenizer(self):
         path = self.config.model_path
         if not path:

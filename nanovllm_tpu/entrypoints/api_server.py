@@ -129,7 +129,12 @@ async def handle_models(request: web.Request):
 
 
 async def handle_health(request: web.Request):
-    return web.json_response({"status": "ok"})
+    """Readiness: "warming" while the background filtered-sampler compiles
+    are still running (serving then works but step dispatch sees GIL bursts
+    from the compile thread's tracing), "ok" once fully warm."""
+    engine = request.app[ENGINE_KEY].engine
+    warm = engine.wait_for_warmup(timeout=0)
+    return web.json_response({"status": "ok" if warm else "warming"})
 
 
 def build_app(engine: AsyncLLMEngine, model_id: str = "default") -> web.Application:

@@ -45,6 +45,14 @@ def test_warmup_modes_then_generate(mode):
     assert all(len(o["token_ids"]) == 8 for o in outs)
 
 
+def test_wait_for_warmup():
+    llm = make_llm(warmup_filtered="background")
+    assert llm.wait_for_warmup(timeout=300)   # joins the bg thread
+    assert llm.wait_for_warmup(timeout=0)     # already done: immediate True
+    assert make_llm(warmup_filtered="off").wait_for_warmup()  # no thread
+    assert make_llm(warmup=False).wait_for_warmup()
+
+
 def test_warmup_matches_no_warmup_outputs():
     # Warmup dispatches fake batches through the REAL cache (dummy slot) —
     # generation afterwards must be bit-identical to a cold engine.
