@@ -55,7 +55,11 @@ class ModelRunner:
         if config.use_graph_cache and not config.enforce_eager:
             try:
                 jax.config.update("jax_compilation_cache_dir", config.compile_cache_dir)
-                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+                # 0.0: persist EVERY executable. When the remote compile
+                # service is warm, AOT warmup compiles return in <1s; with
+                # the default 1.0s threshold they skip persistence and the
+                # execute pass recompiles each shape all over again.
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
             except Exception:  # cache knobs are best-effort across jax versions
                 pass
         self.adapter = get_adapter(config)
@@ -612,6 +616,8 @@ class ModelRunner:
             self._aot_compile(jobs, tag="warmup")
         tok = None
         for label, batch, chain in jobs:
+            t1 = time.perf_counter()
+            logger.info("warmup: running %s", label)
             if chain == "pure":
                 tok = self.dispatch(
                     batch, prev_tokens=tok,
@@ -622,7 +628,8 @@ class ModelRunner:
             else:
                 tok = self.dispatch(batch)
             np.asarray(tok)
-            logger.info("warmup: ran %s", label)
+            logger.info("warmup: ran %s (%.1fs)", label,
+                        time.perf_counter() - t1)
         # No cache reset needed: pages are always written by a sequence's own
         # prefill before its context_lens exposes them to reads.
         logger.info("warmup: %d shapes ready in %.1fs",
