@@ -99,6 +99,10 @@ def test_http_api(engine):
         app = build_app(engine, model_id="tiny")
         async with TestClient(TestServer(app)) as client:
             r = await client.get("/health")
+            # "warming" while the background sampler-variant compiles run
+            assert (await r.json())["status"] in ("ok", "warming")
+            engine.engine.wait_for_warmup(timeout=300)
+            r = await client.get("/health")
             assert (await r.json())["status"] == "ok"
 
             r = await client.get("/v1/models")
