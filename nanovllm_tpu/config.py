@@ -91,6 +91,8 @@ class Config:
     def __post_init__(self):
         assert self.kvcache_block_size % 16 == 0, "block size must be a multiple of 16"
         assert 1 <= self.tensor_parallel_size <= 64
+        assert self.warmup_filtered in ("eager", "background", "off"), \
+            self.warmup_filtered
         if self.hf_config is None:
             self.hf_config = self._resolve_hf_config()
         # Clamp max_model_len to the model's trained window like the
