@@ -65,6 +65,35 @@ def test_dp2_tp4_matches_standalone_engines():
             assert a["token_ids"] == b["token_ids"]
 
 
+def test_dp_staggered_arrivals_and_mixed_lengths():
+    # Requests arrive while replicas are mid-flight; per-request outputs
+    # must still be correct and complete (exercise the pool's step loop
+    # interleaving, not just batch generate).
+    pool = DataParallelPool(tiny_cfg(), dp=2, tensor_parallel_size=4,
+                            same_seed=True, seed=5, **BASE)
+    rng = np.random.default_rng(3)
+    live = {}
+    for i, n in enumerate((9, 17, 25)):
+        sp = SamplingParams(temperature=0.0, max_tokens=6 + i,
+                            ignore_eos=True)
+        r, seq = pool.add_request(list(rng.integers(1, 127, size=n)), sp)
+        live[(r, seq.seq_id)] = 6 + i
+    for _ in range(2):
+        pool.step()   # partial progress
+    for i, n in enumerate((12, 30)):
+        sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+        r, seq = pool.add_request(list(rng.integers(1, 127, size=n)), sp)
+        live[(r, seq.seq_id)] = 4
+    done = {}
+    while not pool.is_finished():
+        for r, finished, _ in pool.step():
+            for sid, token_ids, _, _ in finished:
+                done[(r, sid)] = token_ids
+    assert set(done) == set(live)
+    for key, want_len in live.items():
+        assert len(done[key]) == want_len
+
+
 def test_dp_least_loaded_routing():
     pool = DataParallelPool(tiny_cfg(), dp=2, tensor_parallel_size=4,
                             **BASE)

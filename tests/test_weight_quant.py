@@ -157,6 +157,22 @@ def test_int4_asym_row_shards_roundtrip():
             np.asarray(p2)[r * 128: (r + 1) * 128], np.asarray(pr))
 
 
+def test_int4_asym_tiny_k_group_shrink():
+    # K < 2*group forces the group-shrink path (tiny test models); the
+    # roundtrip bound must still hold at the shrunken group.
+    from nanovllm_tpu.ops.quant import quantize_weight_int4_asym, unpack_int4
+
+    rng = np.random.default_rng(11)
+    for K in (16, 64, 96):
+        w = jnp.asarray(rng.standard_normal((K, 128), dtype=np.float32))
+        p, s = quantize_weight_int4_asym(w)
+        g = K // s.shape[-2]
+        assert s.shape == (2, K // g, 128)
+        got = np.asarray(unpack_int4(p, s))
+        step = np.asarray(s)[0].repeat(g, axis=0)
+        assert (np.abs(got - np.asarray(w)) <= step / 2 + 1e-6).all()
+
+
 def test_pallas_int4_asym_matmul_matches_xla_path():
     from nanovllm_tpu.ops.pallas.quant_matmul import (int4_matmul,
                                                       int4_matmul_stacked)
