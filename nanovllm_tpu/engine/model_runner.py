@@ -16,7 +16,6 @@ from __future__ import annotations
 import logging
 import time
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ XLA runs their dispatches concurrently (per-device execution streams).
 from __future__ import annotations
 
 import logging
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import numpy as np
